@@ -1,0 +1,190 @@
+"""NTT / iNTT / low-degree extension over the Goldilocks field, in JAX.
+
+Functionally equivalent to the reference's block NTT pipeline
+(/root/reference/src/helpers/fft/fft_p.js): ``ntt`` computes the same DFT as
+fft_p.fft (natural order in/out, roots from the f3g w[] chain), and
+``lde`` mirrors fft_p.interpolate:187-297 — iNTT(N) → coset scale by
+shift^i → zero-pad → NTT(extN) — so outputs are bit-identical.
+
+The TPU-native structure differs deliberately: instead of worker threads with
+explicit block transposes, each butterfly stage is a whole-array vector op
+traced under jit; XLA fuses the gather/butterfly chain.  Stage twiddles are
+precomputed host-side and cached on device.  Multi-chip sharding lives in
+``pil2_stark_tpu.parallel.ntt_sharded``.
+
+Layout: a column batch is a pair (lo, hi) of uint32 arrays shaped [N, C]
+(C = number of interleaved columns, reference "nPols").
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field import gl64
+from ..field import jax_gl as gl
+
+
+def bit_reverse_indices(bits: int) -> np.ndarray:
+    n = 1 << bits
+    idx = np.arange(n, dtype=np.uint32)
+    rev = np.zeros(n, dtype=np.uint32)
+    for b in range(bits):
+        rev |= ((idx >> b) & 1) << (bits - 1 - b)
+    return rev
+
+
+def _make_consts(bits: int):
+    """Bit-reverse permutation + per-stage twiddles w_s^j as device arrays.
+
+    Must be called OUTSIDE any jit trace (device constants are closure-
+    captured by the jitted callables below).
+    """
+    rev = jnp.asarray(bit_reverse_indices(bits))
+    tables = []
+    for s in range(1, bits + 1):
+        ws = gl64.w(s)
+        tbl = gl64.powers(ws, 1 << (s - 1))
+        tables.append(gl.from_u64(tbl))
+    return rev, tables
+
+
+def _ntt_body(x, bits: int, rev, tw):
+    """Radix-2 DIT NTT on (lo, hi) arrays shaped [N, C] (natural in/out)."""
+    n = 1 << bits
+    lo = jnp.take(x[0], rev, axis=0)
+    hi = jnp.take(x[1], rev, axis=0)
+    for s in range(1, bits + 1):
+        m = 1 << s
+        half = m >> 1
+        lo = lo.reshape(n // m, m, -1)
+        hi = hi.reshape(n // m, m, -1)
+        u = (lo[:, :half], hi[:, :half])
+        v = (lo[:, half:], hi[:, half:])
+        wlo, whi = tw[s - 1]
+        t = gl.mul((wlo[None, :, None], whi[None, :, None]), v)
+        a = gl.add(u, t)
+        b = gl.sub(u, t)
+        lo = jnp.concatenate([a[0], b[0]], axis=1)
+        hi = jnp.concatenate([a[1], b[1]], axis=1)
+    c = x[0].shape[1]
+    return (lo.reshape(n, c), hi.reshape(n, c))
+
+
+def _intt_body(x, bits: int, rev, tw, perm):
+    n = 1 << bits
+    y = _ntt_body(x, bits, rev, tw)
+    # index reversal (n - i) % n  +  scale by n^{-1}   (fft.js:165-174)
+    lo = jnp.take(y[0], perm, axis=0)
+    hi = jnp.take(y[1], perm, axis=0)
+    n_inv = pow(n, gl64.P_INT - 2, gl64.P_INT)
+    return gl.mul_const((lo, hi), n_inv)
+
+
+def _rev_perm(bits: int):
+    n = 1 << bits
+    return jnp.asarray(
+        np.concatenate([[0], np.arange(n - 1, 0, -1)]).astype(np.uint32)
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_ntt(bits: int):
+    rev, tw = _make_consts(bits)
+    return jax.jit(lambda x: _ntt_body(x, bits, rev, tw))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_intt(bits: int):
+    rev, tw = _make_consts(bits)
+    perm = _rev_perm(bits)
+    return jax.jit(lambda x: _intt_body(x, bits, rev, tw, perm))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_lde(bits: int, ext_bits: int, shift: int):
+    n = 1 << bits
+    shift_pows = gl.from_u64(gl64.powers(shift, n))
+    rev, tw = _make_consts(bits)
+    perm = _rev_perm(bits)
+    rev_e, tw_e = _make_consts(ext_bits)
+
+    def body(x):
+        coefs = _intt_body(x, bits, rev, tw, perm)
+        coefs = gl.mul((shift_pows[0][:, None], shift_pows[1][:, None]), coefs)
+        pad = ((0, (1 << ext_bits) - n), (0, 0))
+        padded = (jnp.pad(coefs[0], pad), jnp.pad(coefs[1], pad))
+        return _ntt_body(padded, ext_bits, rev_e, tw_e)
+
+    return jax.jit(body)
+
+
+# ---------------------------------------------------------------------------
+# public API (device pairs in / device pairs out)
+
+
+def ntt(x, bits: int):
+    return _jit_ntt(bits)(x)
+
+
+def intt(x, bits: int):
+    return _jit_intt(bits)(x)
+
+
+def lde(x, bits: int, ext_bits: int, shift: int = 7):
+    """Low-degree extension onto the coset shift·H_ext (fft_p interpolate)."""
+    return _jit_lde(bits, ext_bits, shift)(x)
+
+
+# ---------------------------------------------------------------------------
+# numpy host conveniences (u64 in / u64 out) used by the prover driver
+
+
+def ntt_u64(x: np.ndarray, bits: int) -> np.ndarray:
+    shape = x.shape
+    x2 = x.reshape(shape[0], -1)
+    r = ntt(gl.from_u64(x2), bits)
+    return gl.to_u64(r).reshape(shape)
+
+
+def intt_u64(x: np.ndarray, bits: int) -> np.ndarray:
+    shape = x.shape
+    x2 = x.reshape(shape[0], -1)
+    r = intt(gl.from_u64(x2), bits)
+    return gl.to_u64(r).reshape(shape)
+
+
+def lde_u64(x: np.ndarray, bits: int, ext_bits: int, shift: int = 7) -> np.ndarray:
+    x2 = x.reshape(x.shape[0], -1)
+    r = lde(gl.from_u64(x2), bits, ext_bits, shift)
+    out = gl.to_u64(r)
+    if x.ndim == 1:
+        return out.reshape(-1)
+    return out.reshape((1 << ext_bits,) + x.shape[1:])
+
+
+# ---------------------------------------------------------------------------
+# naive numpy oracle (small N only) — the differential-testing anchor,
+# mirroring the role of the in-memory F.fft in the reference test-suite
+# (test/fft_p.test.js cross-checks the block NTT against it).
+
+
+def naive_dft_u64(x: np.ndarray, bits: int, inverse: bool = False) -> np.ndarray:
+    n = 1 << bits
+    assert x.shape[0] == n
+    w = gl64.w_inv(bits) if inverse else gl64.w(bits)
+    cols = x.reshape(n, -1)
+    out = np.zeros_like(cols)
+    wk = gl64.powers(w, n)  # w^j
+    for k in range(n):
+        coeff = wk[(np.arange(n) * k) % n]
+        acc = np.zeros(cols.shape[1], dtype=np.uint64)
+        for j in range(n):
+            acc = gl64.add(acc, gl64.mul(cols[j], coeff[j]))
+        out[k] = acc
+    if inverse:
+        n_inv = pow(n, gl64.P_INT - 2, gl64.P_INT)
+        out = gl64.mul(out, np.uint64(n_inv))
+    return out.reshape(x.shape)
