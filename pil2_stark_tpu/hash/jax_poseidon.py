@@ -1,0 +1,229 @@
+"""Batched Poseidon-GL permutation + linear hashes in JAX (u32 limb pairs).
+
+The production hashing path for Merkle tree builds: thousands of independent
+states are permuted at once, each state a row of 12 GL elements held as
+``(lo, hi)`` uint32 arrays of shape (B, 12).  Round structure matches the
+reference schedule (/root/reference/src/helpers/hash/poseidon/poseidon.js:77-107)
+with the same C/S/M/P optimized constant tables; digests are bit-identical to
+the reference's golden vectors (test/poseidon.test.js:13-43).
+
+TPU notes: everything is VPU element-wise math over the batch dimension; the
+round loops are `lax.scan`s over stacked per-round constants so the traced
+graph stays small.  The 12x12 MDS multiply is an unrolled sum of scaled
+columns (GL has no native dtype, so MXU matmul does not apply without limb
+decomposition — a later Pallas optimization).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field import jax_gl as gl
+from . import poseidon_gl as ref
+
+T = 12
+HALF_F = ref.N_ROUNDS_F // 2
+RP = ref.N_ROUNDS_P
+
+
+def _pair_const(arr: np.ndarray):
+    # Kept as NUMPY limb pairs (not device arrays): _consts() may first be
+    # called inside a jit trace, and caching traced values would leak tracers
+    # across traces.  numpy constants are embedded per-trace by XLA.
+    x = np.asarray(arr, dtype=np.uint64)
+    return (
+        (x & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        (x >> np.uint64(32)).astype(np.uint32),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _consts():
+    C, S, M, P = ref.C, ref.S, ref.M, ref.P
+    return {
+        "c0": _pair_const(C[0:T]),
+        # three first-half M-rounds: C rows 1..3
+        "c_first": _pair_const(C[T : HALF_F * T].reshape(HALF_F - 1, T)),
+        "c_p": _pair_const(C[HALF_F * T : (HALF_F + 1) * T]),
+        "c_partial": _pair_const(C[(HALF_F + 1) * T : (HALF_F + 1) * T + RP]),
+        "s_partial": _pair_const(S.reshape(RP, 2 * T - 1)),
+        "c_second": _pair_const(
+            C[(HALF_F + 1) * T + RP :].reshape(HALF_F - 1, T)
+        ),
+        "m": _pair_const(M),
+        "p": _pair_const(P),
+    }
+
+
+def _pow7_all(state):
+    return gl.pow7(state)
+
+
+def _mat_mul(state, mat):
+    """out[:, i] = Σ_j state[:, j] · mat[j, i] — unrolled over j."""
+    mlo, mhi = mat
+    acc = None
+    for j in range(T):
+        term = gl.mul(
+            (state[0][:, j : j + 1], state[1][:, j : j + 1]),
+            (mlo[j][None, :], mhi[j][None, :]),
+        )
+        acc = term if acc is None else gl.add(acc, term)
+    return acc
+
+
+def _full_rounds(state, c_rows, mat):
+    def body(st, c):
+        st = _pow7_all(st)
+        st = gl.add(st, (c[0][None, :], c[1][None, :]))
+        st = _mat_mul(st, mat)
+        return st, None
+
+    state, _ = jax.lax.scan(
+        lambda st, c: body(st, c), state, (c_rows[0], c_rows[1])
+    )
+    return state
+
+
+def _partial_rounds(state, k):
+    def body(st, xs):
+        c, s = xs
+        slo, shi = s  # (23,) each
+        x0 = gl.pow7((st[0][:, 0:1], st[1][:, 0:1]))
+        x0 = gl.add(x0, (c[0][None, None], c[1][None, None]))
+        st = (
+            jnp.concatenate([x0[0], st[0][:, 1:]], axis=1),
+            jnp.concatenate([x0[1], st[1][:, 1:]], axis=1),
+        )
+        # new0 = Σ_j st_j · S[23r + j]
+        prods = gl.mul(st, (slo[None, :T], shi[None, :T]))
+        new0 = (prods[0][:, 0:1], prods[1][:, 0:1])
+        for j in range(1, T):
+            new0 = gl.add(new0, (prods[0][:, j : j + 1], prods[1][:, j : j + 1]))
+        # st[k] += st[0] · S[23r + T + k - 1]  for k=1..T-1
+        addk = gl.mul(x0, (slo[None, T:], shi[None, T:]))
+        rest = gl.add((st[0][:, 1:], st[1][:, 1:]), addk)
+        st = (
+            jnp.concatenate([new0[0], rest[0]], axis=1),
+            jnp.concatenate([new0[1], rest[1]], axis=1),
+        )
+        return st, None
+
+    state, _ = jax.lax.scan(
+        body, state, ((k["c_partial"][0], k["c_partial"][1]),
+                      (k["s_partial"][0], k["s_partial"][1])),
+    )
+    return state
+
+
+def permute(state):
+    """Poseidon permutation on a batch: state = (lo, hi) uint32 (B, 12)."""
+    k = _consts()
+    state = gl.add(state, (k["c0"][0][None, :], k["c0"][1][None, :]))
+    state = _full_rounds(state, k["c_first"], k["m"])
+    state = _pow7_all(state)
+    state = gl.add(state, (k["c_p"][0][None, :], k["c_p"][1][None, :]))
+    state = _mat_mul(state, k["p"])
+    state = _partial_rounds(state, k)
+    state = _full_rounds(state, k["c_second"], k["m"])
+    state = _pow7_all(state)
+    state = _mat_mul(state, k["m"])
+    return state
+
+
+@jax.jit
+def permute_jit(state):
+    return permute(state)
+
+
+def hash_pairs(left, right):
+    """poseidon(left4 || right4, zero capacity)[:4] on batches (B, 4)."""
+    b = left[0].shape[0]
+    z = jnp.zeros((b, 4), dtype=jnp.uint32)
+    st = (
+        jnp.concatenate([left[0], right[0], z], axis=1),
+        jnp.concatenate([left[1], right[1], z], axis=1),
+    )
+    out = permute(st)
+    return (out[0][:, :4], out[1][:, :4])
+
+
+def linear_hash(rows, width: int):
+    """Sponge over rows of `width` GL elements (linearhash.js:8-42).
+
+    rows = (lo, hi) uint32 of shape (B, width).  Returns (B, 4) digests.
+    Rows of width ≤ 4 are copied verbatim (zero-padded).
+    """
+    lo, hi = rows
+    b = lo.shape[0]
+    if width <= 4:
+        pad = ((0, 0), (0, 4 - width))
+        return (jnp.pad(lo, pad), jnp.pad(hi, pad))
+    n_chunks = -(-width // 8)
+    pad = ((0, 0), (0, n_chunks * 8 - width))
+    lo = jnp.pad(lo, pad).reshape(b, n_chunks, 8)
+    hi = jnp.pad(hi, pad).reshape(b, n_chunks, 8)
+
+    def body(st, chunk):
+        clo, chi = chunk
+        full = (
+            jnp.concatenate([clo, st[0]], axis=1),
+            jnp.concatenate([chi, st[1]], axis=1),
+        )
+        out = permute(full)
+        return (out[0][:, :4], out[1][:, :4]), None
+
+    z = jnp.zeros((b, 4), dtype=jnp.uint32)
+    (dlo, dhi), _ = jax.lax.scan(
+        body,
+        (z, z),
+        (jnp.moveaxis(lo, 1, 0), jnp.moveaxis(hi, 1, 0)),
+    )
+    return (dlo, dhi)
+
+
+def linear_hash_split(rows, width: int, batch_size: int | None = None):
+    """Two-level split linear hash (linearhash_gpu.js:31-68).
+
+    Splits each row into chunks of `batch_size` elements, linear-hashes each
+    chunk, then linear-hashes the concatenated 4-element digests.
+    """
+    if batch_size is None:
+        batch_size = int(max(8, (width + 3) / 4))
+    if width <= 4:
+        return linear_hash(rows, width)
+    lo, hi = rows
+    digests_lo, digests_hi = [], []
+    for start in range(0, width, batch_size):
+        end = min(start + batch_size, width)
+        d = linear_hash((lo[:, start:end], hi[:, start:end]), end - start)
+        digests_lo.append(d[0])
+        digests_hi.append(d[1])
+    cat = (jnp.concatenate(digests_lo, axis=1), jnp.concatenate(digests_hi, axis=1))
+    n = cat[0].shape[1]
+    if n <= 4:
+        return linear_hash(cat, n)
+    return linear_hash(cat, n)
+
+
+# ---------------------------------------------------------------------------
+# u64 conveniences
+
+
+def permute_u64(state: np.ndarray) -> np.ndarray:
+    return gl.to_u64(permute_jit(gl.from_u64(state)))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_linear_hash(width: int, split: bool):
+    fn = linear_hash_split if split else linear_hash
+    return jax.jit(lambda rows: fn(rows, width))
+
+
+def linear_hash_u64(rows: np.ndarray, split: bool = False) -> np.ndarray:
+    rows = np.asarray(rows, dtype=np.uint64)
+    out = _jit_linear_hash(rows.shape[1], split)(gl.from_u64(rows))
+    return gl.to_u64(out)

@@ -90,33 +90,134 @@ def _rev_perm(bits: int):
     )
 
 
+# ---------------------------------------------------------------------------
+# self-sorting four-step NTT (no bit-reverse gather — the dominant cost of
+# the naive radix-2 network on TPU is the random gather; the four-step
+# recursion replaces it with reshapes + one transpose per level, which XLA
+# lowers to efficient relayouts).
+#
+#   Y[o2·N1+o1] = Σ_{i2} w_N2^{i2·o2} · w_N^{i2·o1} · Σ_{i1} w_N1^{i1·o1} x[i1·N2+i2]
+#
+# The inverse transform runs the same network with inverted roots and a
+# final 1/n scale — mathematically identical to the reference's
+# "forward + index reversal" iNTT (fft.js:165-174), hence bit-exact.
+
+_BASE_BITS = 6
+
+
+def _pair_np(arr: np.ndarray):
+    arr = np.asarray(arr, dtype=np.uint64)
+    return (
+        (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        (arr >> np.uint64(32)).astype(np.uint32),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _base_consts(bits: int, inverse: bool):
+    rev = bit_reverse_indices(bits)
+    tables = []
+    for s in range(1, bits + 1):
+        ws = gl64.w_inv(s) if inverse else gl64.w(s)
+        tables.append(_pair_np(gl64.powers(ws, 1 << (s - 1))))
+    return rev, tables
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle_consts(bits: int, bits1: int, inverse: bool):
+    """w_±N^{o1·i2} as (n1, n2) u32 limb pair."""
+    n1 = 1 << bits1
+    n2 = 1 << (bits - bits1)
+    w = gl64.w_inv(bits) if inverse else gl64.w(bits)
+    row = gl64.powers(w, n2)
+    t = np.empty((n1, n2), dtype=np.uint64)
+    t[0] = 1
+    for o1 in range(1, n1):
+        t[o1] = gl64.mul(t[o1 - 1], row)
+    return _pair_np(t)
+
+
+def _axis0_base(x, bits: int, inverse: bool):
+    """Radix-2 DIT along axis 0 of (n, B) limb arrays, n ≤ 2^_BASE_BITS.
+    The bit-reverse take touches ≤ 64 contiguous rows — cheap."""
+    n = 1 << bits
+    rev, tables = _base_consts(bits, inverse)
+    lo = jnp.take(x[0], rev, axis=0)
+    hi = jnp.take(x[1], rev, axis=0)
+    b = x[0].shape[1]
+    for s in range(1, bits + 1):
+        m = 1 << s
+        half = m >> 1
+        lo = lo.reshape(n // m, m, b)
+        hi = hi.reshape(n // m, m, b)
+        u = (lo[:, :half], hi[:, :half])
+        v = (lo[:, half:], hi[:, half:])
+        wlo, whi = tables[s - 1]
+        t = gl.mul((wlo[None, :, None], whi[None, :, None]), v)
+        a = gl.add(u, t)
+        c = gl.sub(u, t)
+        lo = jnp.concatenate([a[0], c[0]], axis=1)
+        hi = jnp.concatenate([a[1], c[1]], axis=1)
+    return (lo.reshape(n, b), hi.reshape(n, b))
+
+
+def _axis0_ntt(x, bits: int, inverse: bool):
+    """NTT along axis 0 of (n, B) limb arrays, natural order in/out."""
+    if bits <= _BASE_BITS:
+        return _axis0_base(x, bits, inverse)
+    bits1 = bits // 2
+    bits2 = bits - bits1
+    n1, n2 = 1 << bits1, 1 << bits2
+    b = x[0].shape[1]
+
+    # step 1: transform i1 (axis 0 of (n1, n2·B))
+    y = _axis0_ntt((x[0].reshape(n1, n2 * b), x[1].reshape(n1, n2 * b)), bits1, inverse)
+    ylo = y[0].reshape(n1, n2, b)
+    yhi = y[1].reshape(n1, n2, b)
+    # twiddle w^{o1·i2}
+    tlo, thi = _twiddle_consts(bits, bits1, inverse)
+    ylo, yhi = gl.mul((ylo, yhi), (tlo[:, :, None], thi[:, :, None]))
+    # transpose (n1, n2, B) -> (n2, n1, B)
+    ylo = jnp.swapaxes(ylo, 0, 1)
+    yhi = jnp.swapaxes(yhi, 0, 1)
+    # step 2: transform i2
+    z = _axis0_ntt(
+        (ylo.reshape(n2, n1 * b), yhi.reshape(n2, n1 * b)), bits2, inverse
+    )
+    # output flat index o2·n1 + o1 == current layout flattened
+    return (z[0].reshape(1 << bits, b), z[1].reshape(1 << bits, b))
+
+
 @functools.lru_cache(maxsize=None)
 def _jit_ntt(bits: int):
-    rev, tw = _make_consts(bits)
-    return jax.jit(lambda x: _ntt_body(x, bits, rev, tw))
+    return jax.jit(lambda x: _axis0_ntt(x, bits, False))
 
 
 @functools.lru_cache(maxsize=None)
 def _jit_intt(bits: int):
-    rev, tw = _make_consts(bits)
-    perm = _rev_perm(bits)
-    return jax.jit(lambda x: _intt_body(x, bits, rev, tw, perm))
+    n = 1 << bits
+    n_inv = pow(n, gl64.P_INT - 2, gl64.P_INT)
+
+    def body(x):
+        y = _axis0_ntt(x, bits, True)
+        return gl.mul_const(y, n_inv)
+
+    return jax.jit(body)
 
 
 @functools.lru_cache(maxsize=None)
 def _jit_lde(bits: int, ext_bits: int, shift: int):
     n = 1 << bits
-    shift_pows = gl.from_u64(gl64.powers(shift, n))
-    rev, tw = _make_consts(bits)
-    perm = _rev_perm(bits)
-    rev_e, tw_e = _make_consts(ext_bits)
+    n_inv = pow(n, gl64.P_INT - 2, gl64.P_INT)
+    # fold n_inv into the coset-shift scaling
+    shift_pows = _pair_np(gl64.mul(gl64.powers(shift, n), np.uint64(n_inv)))
 
     def body(x):
-        coefs = _intt_body(x, bits, rev, tw, perm)
+        coefs = _axis0_ntt(x, bits, True)
         coefs = gl.mul((shift_pows[0][:, None], shift_pows[1][:, None]), coefs)
         pad = ((0, (1 << ext_bits) - n), (0, 0))
         padded = (jnp.pad(coefs[0], pad), jnp.pad(coefs[1], pad))
-        return _ntt_body(padded, ext_bits, rev_e, tw_e)
+        return _axis0_ntt(padded, ext_bits, False)
 
     return jax.jit(body)
 

@@ -1,0 +1,227 @@
+"""FRI low-degree test: fold, query extraction, verification.
+
+Mirrors /root/reference/src/stark/fri.js: fold(step) groups the domain by
+the next step size, per group iFFT(nX) + coset de-scale (shiftInv squared
+per prior reduction) + Horner eval at the fold challenge; non-final steps
+re-Merkelize the transposed groups 3-wide; queries walk the trees with
+index folding q %= 2^nBits[step]; verify recomputes the fold point per
+query and checks the final polynomial degree bound via iFFT zero-coefs.
+
+The fold is vectorized: the per-group iFFTs are one batched NTT over groups
+(columns = groups), the Horner eval a vectorized extension scan.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..field import gl64, f3, vf3
+from ..hash import merkle
+from ..ops import ntt as ntt_ops
+
+
+def _log2(n):
+    return n.bit_length() - 1
+
+
+class FRI:
+    def __init__(self, stark_struct):
+        self.in_n_bits = stark_struct["nBitsExt"]
+        self.max_deg_n_bits = stark_struct["nBits"]
+        self.n_queries = stark_struct["nQueries"]
+        self.steps = stark_struct["steps"]
+
+    def fold(self, step: int, pol: np.ndarray, challenge):
+        """pol: (len, 3) u64.  Returns {pol, tree, proof}."""
+        pol_bits = _log2(pol.shape[0])
+        if step == 0:
+            assert pol_bits == self.in_n_bits, "Invalid polynomial size"
+        assert (1 << pol_bits) == pol.shape[0]
+
+        shift_inv = gl64.SHIFT_INV_INT
+        if step > 0:
+            for _ in range(self.steps[0]["nBits"] - self.steps[step - 1]["nBits"]):
+                shift_inv = (shift_inv * shift_inv) % gl64.P_INT
+
+        reduction_bits = pol_bits - self.steps[step]["nBits"]
+        pol2_n = 1 << (pol_bits - reduction_bits)
+        n_x = pol.shape[0] // pol2_n
+
+        if step == 0:
+            pol2 = pol.copy()
+        else:
+            # groups: ppar[i] = pol[i*pol2N + g]  -> shape (nX, pol2N, 3)
+            grouped = pol.reshape(n_x, pol2_n, 3)
+            # batched iNTT over the group axis: treat (pol2N*3) as columns
+            bits = _log2(n_x)
+            coefs = ntt_ops.intt_u64(grouped.reshape(n_x, pol2_n * 3), bits).reshape(
+                n_x, pol2_n, 3
+            )
+            # coefs[k] *= sinv_g^k where sinv_g = shift_inv * wi^g
+            wi = gl64.w_inv(pol_bits)
+            sinv = gl64.mul(
+                np.uint64(shift_inv),
+                gl64.powers(wi, pol2_n),
+            )  # (pol2N,) per-group base
+            # per-group scale factors: sinv_g^k for k in 0..nX-1
+            # scale[k, g] = sinv[g]^k
+            scale = np.ones((n_x, pol2_n), dtype=np.uint64)
+            for k in range(1, n_x):
+                scale[k] = gl64.mul(scale[k - 1], sinv)
+            coefs = _scale_coefs(coefs, scale)
+            # Horner eval at challenge over k axis
+            pol2 = _eval_groups(coefs, challenge)
+
+        if step != len(self.steps) - 1:
+            n_groups = 1 << self.steps[step + 1]["nBits"]
+            group_size = (1 << self.steps[step]["nBits"]) // n_groups
+            buff = _transposed_buffer(pol2, self.steps[step + 1]["nBits"])
+            tree = merkle.merkelize(buff, 3 * group_size, n_groups)
+            proof = {"root": tree.root}
+        else:
+            tree = None
+            proof = [vf3.to_scalar(pol2[i]) for i in range(pol2.shape[0])]
+
+        return {"pol": pol2, "tree": tree, "proof": proof}
+
+    def proof_queries(self, proof, trees, fri_queries):
+        """fri.js:83-105 — mutates fri_queries (index folding) like the JS."""
+        for step in range(len(self.steps)):
+            proof[step]["polQueries"] = []
+            if step == 0:
+                for q in fri_queries:
+                    pol_query = [
+                        _group_proof(t, q) for t in trees[step]
+                    ]
+                    proof[step]["polQueries"].append(pol_query)
+            else:
+                for i in range(len(fri_queries)):
+                    fri_queries[i] = fri_queries[i] % (1 << self.steps[step]["nBits"])
+                for q in fri_queries:
+                    proof[step]["polQueries"].append(_group_proof(trees[step], q))
+
+    def verify(self, fri_challenges, fri_queries, proof, check_query):
+        """fri.js:107-174.  proof is the prover's fri list: [step0, step1,
+        ..., lastPol]."""
+        assert len(proof) == len(self.steps) + 1, "Invalid proof size"
+        fri_queries = list(fri_queries)
+
+        pol_bits = self.in_n_bits
+        shift = gl64.SHIFT_INT
+        for si in range(len(self.steps)):
+            proof_item = proof[si]
+            reduction_bits = pol_bits - self.steps[si]["nBits"]
+            for i in range(self.n_queries):
+                pgroup_e = check_query(proof_item["polQueries"][i], fri_queries[i])
+                if not pgroup_e:
+                    return False
+                pgroup_c = _ifft_scalars(pgroup_e)
+                sinv = f3.inv1(
+                    (shift * pow(gl64.w(pol_bits), fri_queries[i], gl64.P_INT))
+                    % gl64.P_INT
+                )
+                ev = _eval_pol_scalar(pgroup_c, f3.mul(fri_challenges[si], sinv))
+
+                if si < len(self.steps) - 1:
+                    next_n_groups = 1 << self.steps[si + 1]["nBits"]
+                    group_idx = fri_queries[i] // next_n_groups
+                    vals = proof[si + 1]["polQueries"][i][0]
+                    got = (
+                        int(vals[group_idx * 3]),
+                        int(vals[group_idx * 3 + 1]),
+                        int(vals[group_idx * 3 + 2]),
+                    )
+                    if not f3.eq(got, ev):
+                        return False
+                else:
+                    if not f3.eq(_as_tuple(proof[si + 1][fri_queries[i]]), ev):
+                        return False
+
+            def check_query_next(query, idx, _si=si):
+                ok = merkle.verify_group_proof(
+                    proof[_si + 1]["root"], query[1], idx, query[0]
+                )
+                if not ok:
+                    return False
+                return _split3(query[0])
+
+            check_query = check_query_next
+
+            pol_bits = self.steps[si]["nBits"]
+            for _ in range(reduction_bits):
+                shift = (shift * shift) % gl64.P_INT
+
+            if si < len(self.steps) - 1:
+                for i in range(len(fri_queries)):
+                    fri_queries[i] = fri_queries[i] % (1 << self.steps[si + 1]["nBits"])
+
+        last_pol_e = proof[-1]
+        deg_shift = self.in_n_bits - self.max_deg_n_bits
+        max_deg = 0 if pol_bits - deg_shift < 0 else 1 << (pol_bits - deg_shift)
+
+        last_pol_c = _ifft_scalars([_as_tuple(v) for v in last_pol_e])
+        for i in range(max_deg + 1, len(last_pol_c)):
+            if not f3.is_zero(last_pol_c[i]):
+                return False
+        return True
+
+
+def _as_tuple(v):
+    if isinstance(v, (tuple, list)):
+        return tuple(int(x) for x in v)
+    arr = np.asarray(v)
+    return (int(arr[0]), int(arr[1]), int(arr[2]))
+
+
+def _split3(arr):
+    return [
+        (int(arr[i]), int(arr[i + 1]), int(arr[i + 2])) for i in range(0, len(arr), 3)
+    ]
+
+
+def _group_proof(tree, idx):
+    values, siblings = merkle.get_group_proof(tree, idx)
+    return [values, siblings]
+
+
+def _scale_coefs(coefs, scale):
+    """coefs[k, g] *= scale[k, g] (extension × base)."""
+    return vf3.mul(coefs, scale)
+
+
+def _eval_groups(coefs, challenge):
+    """Horner over the k axis: result[g] = Σ coefs[k, g]·challenge^k."""
+    n_x = coefs.shape[0]
+    ch = np.array(challenge, dtype=np.uint64)
+    res = coefs[n_x - 1]
+    for k in range(n_x - 2, -1, -1):
+        res = vf3.add(vf3.mul(res, ch), coefs[k])
+    return res
+
+
+def _transposed_buffer(pol2, transpose_bits):
+    """fri.js getTransposedBuffer:187-202: row i of the tree gets elements
+    pol2[j*w + i] for j in 0..h-1, flattened 3-wide."""
+    n = pol2.shape[0]
+    w = 1 << transpose_bits
+    h = n // w
+    # reshape (h, w, 3) -> transpose to (w, h, 3) -> rows of 3h
+    return pol2.reshape(h, w, 3).transpose(1, 0, 2).reshape(w, h * 3)
+
+
+def _ifft_scalars(vals):
+    """In-memory scalar iNTT over extension values (small n), matching
+    F.ifft (fft.js:165-174)."""
+    n = len(vals)
+    arr = np.array([f3.as3(v) for v in vals], dtype=np.uint64)
+    bits = _log2(n)
+    out = ntt_ops.intt_u64(arr.reshape(n, 3), bits)
+    return [tuple(int(x) for x in out[i]) for i in range(n)]
+
+
+def _eval_pol_scalar(p, x):
+    if len(p) == 0:
+        return 0
+    res = p[-1]
+    for c in reversed(p[:-1]):
+        res = f3.add(f3.mul(res, x), c)
+    return res

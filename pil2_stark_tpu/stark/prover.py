@@ -1,0 +1,377 @@
+"""STARK proof generation — the stage driver.
+
+Mirrors /root/reference/src/prover/prover.js (proofGen) and the stage
+implementations in src/stark/stark_gen_helpers.js: per Fiat-Shamir stage:
+resolve hints to fixpoint → evaluate im-pols → LDE + Merkelize → absorb root
+→ squeeze challenges; then Q split, DEEP evals (LEv iFFT trick), xDivXSubXi
+batch-inverse table, FRI polynomial + folds + queries.
+
+Bulk math runs on the JAX NTT/Poseidon kernels (ops.ntt, hash.merkle);
+the transcript and per-stage control flow are host-side (tiny state),
+exactly as the reference keeps them.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..field import gl64, f3, vf3
+from ..hash import merkle
+from ..hash.transcript import Transcript
+from ..ops import ntt as ntt_ops
+from . import expr_eval, hints
+from .context import ProverCtx
+from .fri import FRI
+
+
+def prove(pil_info, expressions_info, const_pols, const_tree, inputs, debug=False, split_linear_hash=False):
+    """proofGen (prover.js:7-131).  Returns {proof, publics, challenges,
+    challengesFRISteps} or, in debug mode, the list of constraint errors.
+
+    `inputs` = stage-1 witness columns as (N, nCm1basefield) array plus the
+    publics values list: (cm1_values, publics).
+    """
+    ctx = ProverCtx(pil_info, expressions_info, const_pols, const_tree, debug=debug)
+    ctx.split_linear_hash = split_linear_hash
+
+    cm1_values, publics_inputs = inputs
+    n_cm1 = sum(1 for c in pil_info["cmPolsMap"] if c["stage"] == 1)
+    ctx.buffers["cm1_n"][:, : cm1_values.shape[1]] = cm1_values
+    for i in range(n_cm1):
+        ctx.set_symbol_calculated({"op": "cm", "id": i})
+
+    for i in range(pil_info["nPublics"]):
+        ctx.publics[i] = int(publics_inputs[i])
+        ctx.set_symbol_calculated({"op": "public", "stage": 1, "id": i})
+
+    challenge = None
+    q_stage = pil_info["nStages"] + 1
+
+    rng = np.random.default_rng(0xC0FFEE) if debug else None
+
+    for stage in range(1, q_stage + 1):
+        if stage == q_stage and debug:
+            continue
+        if _n_challenges(pil_info, stage) > 0:
+            _set_challenges(stage, ctx, challenge, rng)
+        _compute_stage(stage, ctx)
+
+        if stage == 1 and not debug:
+            _add_publics_transcript(ctx)
+
+        if not debug:
+            if stage == q_stage:
+                commits = _compute_q(ctx)
+            else:
+                commits = _extend_and_merkelize(stage, ctx)
+            _add_transcript(ctx.transcript, commits)
+            if _n_challenges(pil_info, stage) > 0:
+                challenge = ctx.transcript.get_field()
+        else:
+            challenge = _random_challenge(rng)
+
+    if debug:
+        return ctx.errors
+
+    evals_stage = pil_info["nStages"] + 2
+    _set_challenges(evals_stage, ctx, challenge, rng)
+
+    evals_commits = _compute_evals(ctx)
+    _add_transcript(ctx.transcript, evals_commits)
+    challenge = ctx.transcript.get_field()
+
+    fri_stage = pil_info["nStages"] + 3
+    _set_challenges(fri_stage, ctx, challenge, rng)
+
+    _compute_fri_pol(ctx)
+
+    fri = FRI(pil_info["starkStruct"])
+    ctx.fri_proof = {}
+    ctx.fri_trees = {}
+    ctx.fri_trees[0] = [ctx.trees[i + 1] for i in range(pil_info["nStages"] + 1)] + [
+        ctx.const_tree
+    ]
+    ctx.fri_proof[0] = {}
+
+    n_steps = len(pil_info["starkStruct"]["steps"])
+    for step in range(n_steps):
+        challenge = ctx.transcript.get_field()
+        ctx.challenges_fri_steps.append(challenge)
+        fold = fri.fold(step, ctx.fri_pol[step], challenge)
+        ctx.fri_pol[step + 1] = fold["pol"]
+        ctx.fri_proof[step + 1] = fold["proof"]
+        if step < n_steps - 1:
+            ctx.fri_trees[step + 1] = fold["tree"]
+            commits = [fold["proof"]["root"]]
+        else:
+            if pil_info["starkStruct"].get("hashCommits"):
+                commits = [_hash_commits(ctx.fri_pol[step + 1])]
+            else:
+                commits = [vf3.to_scalar(v) for v in ctx.fri_pol[step + 1]]
+        _add_transcript(ctx.transcript, commits)
+
+    challenge_queries = ctx.transcript.get_field()
+    ctx.challenges_fri_steps.append(challenge_queries)
+
+    fri_queries = _get_permutations(ctx, challenge_queries)
+
+    fri_proof_list = [ctx.fri_proof[s] for s in range(n_steps + 1)]
+    fri_trees_list = [ctx.fri_trees[s] for s in range(n_steps)]
+    fri.proof_queries(fri_proof_list, fri_trees_list, fri_queries)
+
+    proof = {
+        "evals": ctx.evals,
+        "subproofValues": ctx.subproof_values,
+        "fri": fri_proof_list,
+    }
+    for i in range(pil_info["nStages"] + 1):
+        proof[f"root{i + 1}"] = ctx.trees[i + 1].root
+
+    return {
+        "proof": proof,
+        "publics": ctx.publics,
+        "challenges": ctx.challenges,
+        "challengesFRISteps": ctx.challenges_fri_steps,
+    }
+
+
+# ---------------------------------------------------------------------------
+# stages
+
+
+def _n_challenges(pil_info, stage):
+    return sum(1 for c in pil_info["challengesMap"] if c["stage"] == stage)
+
+
+def _set_challenges(stage, ctx, challenge, rng):
+    """setChallengesStark (stark_gen_helpers.js:414-439)."""
+    n = _n_challenges(ctx.pil_info, stage)
+    while len(ctx.challenges) < stage:
+        ctx.challenges.append([])
+    ctx.challenges[stage - 1] = []
+    for i in range(n):
+        if i > 0 or not challenge:
+            ctx.challenges[stage - 1].append(ctx.transcript.get_field())
+        else:
+            ctx.challenges[stage - 1].append(challenge)
+    q_stage = ctx.pil_info["nStages"] + 1
+    if stage < q_stage:
+        for i, c in enumerate(ctx.pil_info["challengesMap"]):
+            if c["stage"] == stage:
+                ctx.set_symbol_calculated({"op": "challenge", "stage": stage, "id": i})
+
+
+def _random_challenge(rng):
+    return tuple(
+        int(rng.integers(0, 1 << 63)) % gl64.P_INT for _ in range(3)
+    )
+
+
+def _compute_stage(stage, ctx):
+    """computeStage (prover.js:192-231)."""
+    q_stage = ctx.pil_info["nStages"] + 1
+    dom = "ext" if stage == q_stage else "n"
+
+    if stage != q_stage:
+        missing = ctx.stage_symbols_missing(stage)
+        while missing > 0:
+            hints.apply_hints(ctx, stage)
+            updated = ctx.stage_symbols_missing(stage)
+            if updated == missing:
+                raise RuntimeError(
+                    f"Something went wrong when calculating symbols for stage {stage}"
+                )
+            missing = updated
+        if stage == q_stage - 1:
+            code = ctx.expressions_info["imPolsCode"][stage - 1]
+            if code["code"]:
+                expr_eval.execute_code(ctx, code, dom)
+    else:
+        code = next(
+            e
+            for e in ctx.expressions_info["expressionsCode"]
+            if e["expId"] == ctx.pil_info["cExpId"]
+        )
+        expr_eval.execute_code(ctx, code["code"], dom)
+
+    if ctx.debug:
+        for c in ctx.expressions_info["constraints"]:
+            if c["stage"] != stage:
+                continue
+            ctx.errors.extend(expr_eval.check_constraint(ctx, c, dom))
+
+
+def _extend_and_merkelize(stage, ctx):
+    """LDE + Merkle build (stark_gen_helpers.js:388-412)."""
+    buff_from = ctx.buffers[f"cm{stage}_n"]
+    n_pols = ctx.pil_info["mapSectionsN"][f"cm{stage}"]
+    if n_pols > 0:
+        ext = ntt_ops.lde_u64(buff_from, ctx.n_bits, ctx.n_bits_ext)
+    else:
+        ext = np.zeros((ctx.ext_N, 0), dtype=np.uint64)
+    ctx.buffers[f"cm{stage}_ext"][:, :] = ext
+    ctx.trees[stage] = merkle.merkelize(
+        ext, n_pols, ctx.ext_N, split_linear_hash=ctx.split_linear_hash
+    )
+    return [ctx.trees[stage].root]
+
+
+def _compute_q(ctx):
+    """computeQStark (stark_gen_helpers.js:168-208): iNTT(ext) of q, split
+    into qDeg chunks scaled by shiftIn^p, NTT back, Merkelize."""
+    pil_info = ctx.pil_info
+    q_stage = pil_info["nStages"] + 1
+    q_dim = pil_info["qDim"]
+    q_deg = pil_info["qDeg"]
+
+    qq1 = ntt_ops.intt_u64(ctx.q_ext, ctx.n_bits_ext)  # (extN, qDim)
+
+    shift_in = pow(pow(gl64.SHIFT_INT, gl64.P_INT - 2, gl64.P_INT), ctx.N, gl64.P_INT)
+    # qq2[i, p*qDim + k] = qq1[p*N + i, k] * shiftIn^p
+    qq2 = np.zeros((ctx.ext_N, q_dim * q_deg), dtype=np.uint64)
+    cur_s = 1
+    for p in range(q_deg):
+        chunk = qq1[p * ctx.N : (p + 1) * ctx.N, :]
+        qq2[: ctx.N, p * q_dim : (p + 1) * q_dim] = gl64.mul(
+            chunk, np.uint64(cur_s)
+        )
+        cur_s = (cur_s * shift_in) % gl64.P_INT
+
+    ext = ntt_ops.ntt_u64(qq2, ctx.n_bits_ext)
+    ctx.buffers[f"cm{q_stage}_ext"][:, :] = ext
+
+    n_pols_q = pil_info["mapSectionsN"].get(f"cm{q_stage}", 0)
+    ctx.trees[q_stage] = merkle.merkelize(
+        ext, n_pols_q, ctx.ext_N, split_linear_hash=ctx.split_linear_hash
+    )
+    return [ctx.trees[q_stage].root]
+
+
+def _compute_evals(ctx):
+    """computeEvalsStark (stark_gen_helpers.js:210-273)."""
+    pil_info = ctx.pil_info
+    evals_stage = pil_info["nStages"] + 1
+    xi_challenge = ctx.challenges[evals_stage][0]
+
+    openings = pil_info["openingPoints"]
+    lev = []
+    for opening in openings:
+        w = pow(gl64.w(ctx.n_bits), abs(int(opening)), gl64.P_INT)
+        if opening < 0:
+            w = pow(w, gl64.P_INT - 2, gl64.P_INT)
+        xi = f3.mul(f3.mul(xi_challenge, w), f3.inv1(gl64.SHIFT_INT))
+        # geometric series xi^k as (N, 3), then iNTT
+        series = np.zeros((ctx.N, 3), dtype=np.uint64)
+        acc = (1, 0, 0)
+        for k in range(ctx.N):
+            series[k] = acc
+            acc = f3.mul(acc, xi)
+        lev.append(ntt_ops.intt_u64(series, ctx.n_bits))
+
+    ctx.evals = []
+    stride = 1 << ctx.extend_bits
+    for ev in pil_info["evMap"]:
+        if ev["type"] == "const":
+            cols = ctx.const_ext[::stride, ev["id"]]
+        elif ev["type"] == "cm":
+            p = ctx.get_pol_ref(ev["id"], "ext")
+            if p["dim"] == 1:
+                cols = p["buffer"][::stride, p["offset"]]
+            else:
+                cols = p["buffer"][::stride, p["offset"] : p["offset"] + p["dim"]]
+        else:
+            raise ValueError(f"Invalid ev type: {ev['type']}")
+        lev_i = lev[openings.index(ev["prime"])]
+        prod = vf3.mul(np.asarray(cols), lev_i)  # (N, 3)
+        acc = _sum_ext(prod)
+        ctx.evals.append(acc)
+
+    if pil_info["starkStruct"].get("hashCommits"):
+        return [_hash_commits(ctx.evals)]
+    return list(ctx.evals)
+
+
+def _sum_ext(vals):
+    """Tree-sum of (N, 3) extension values mod p."""
+    arr = vf3.as3(vals)
+    while arr.shape[0] > 1:
+        if arr.shape[0] % 2:
+            arr = np.concatenate(
+                [arr, np.zeros((1, 3), dtype=np.uint64)], axis=0
+            )
+        arr = gl64.add(arr[0::2], arr[1::2])
+    return tuple(int(x) for x in arr[0])
+
+
+def _compute_fri_pol(ctx):
+    """computeFRIStark (stark_gen_helpers.js:275-335)."""
+    pil_info = ctx.pil_info
+    stage = pil_info["nStages"] + 2
+    evals_stage = pil_info["nStages"] + 1
+    xi_challenge = ctx.challenges[evals_stage][0]
+
+    for i, opening in enumerate(pil_info["openingPoints"]):
+        w = pow(gl64.w(ctx.n_bits), abs(int(opening)), gl64.P_INT)
+        if opening < 0:
+            w = pow(w, gl64.P_INT - 2, gl64.P_INT)
+        xi = f3.mul(xi_challenge, w)  # extension
+        xi3 = np.array(f3.as3(xi), dtype=np.uint64)
+        x = ctx.x_ext  # (extN,) base
+        den = vf3.sub(x, xi3)  # (extN, 3)
+        den_inv = vf3.inv(den)
+        v = vf3.mul(den_inv, x)
+        ctx.xDivXSubXi_ext[:, i, :] = v
+
+    code = next(
+        e
+        for e in ctx.expressions_info["expressionsCode"]
+        if e["expId"] == pil_info["friExpId"]
+    )
+    expr_eval.execute_code(ctx, code["code"], "ext")
+
+    ctx.fri_pol = {0: ctx.f_ext.copy()}
+
+
+def _compute_stage_1_publics(ctx):
+    pass
+
+
+def _add_publics_transcript(ctx):
+    """addPublicsTranscript (prover.js:150-188), GL/no-hashCommits and
+    hashCommits variants."""
+    pil_info = ctx.pil_info
+    commits = []
+    if pil_info["starkStruct"].get("hashCommits"):
+        commits.append(list(ctx.const_tree.root))
+        commits.append(_hash_commits(ctx.publics))
+    else:
+        commits.append(list(ctx.const_tree.root))
+        commits.extend(ctx.publics)
+    _add_transcript(ctx.transcript, commits)
+
+
+def _hash_commits(inputs):
+    """calculateHashStark: absorb into a fresh transcript, return state."""
+    t = Transcript()
+    for v in inputs:
+        t.put(_flatten(v))
+    return t.get_state()
+
+
+def _flatten(v):
+    if isinstance(v, np.ndarray):
+        return [int(x) for x in v.reshape(-1)]
+    return v
+
+
+def _add_transcript(transcript, inputs):
+    for v in inputs:
+        transcript.put(_flatten(v))
+
+
+def _get_permutations(ctx, challenge):
+    """getPermutationsStark: fresh transcript seeded with the query
+    challenge."""
+    t = Transcript()
+    t.put(_flatten(challenge))
+    ss = ctx.pil_info["starkStruct"]
+    return t.get_permutations(ss["nQueries"], ss["steps"][0]["nBits"])
