@@ -27,7 +27,15 @@ def comp(a, i: int):
 
 
 def stack(rows):
-    return (jnp.stack([r[0] for r in rows]), jnp.stack([r[1] for r in rows]))
+    """Stack component gl vectors, broadcasting to a common shape (mixed
+    base/ext ops produce differently-shaped components)."""
+    import numpy as _np
+
+    shape = _np.broadcast_shapes(*[r[0].shape for r in rows])
+    return (
+        jnp.stack([jnp.broadcast_to(r[0], shape) for r in rows]),
+        jnp.stack([jnp.broadcast_to(r[1], shape) for r in rows]),
+    )
 
 
 def promote(a):

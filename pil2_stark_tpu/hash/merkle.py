@@ -26,6 +26,27 @@ import numpy as np
 from ..field import jax_gl as gl
 from . import jax_poseidon, linearhash, poseidon_gl
 
+try:  # native C++ host kernels (bit-identical; used for proof verification)
+    from ..runtime import native as _native
+
+    _HAVE_NATIVE = _native.native_available()
+except Exception:  # pragma: no cover
+    _HAVE_NATIVE = False
+
+
+def _host_linear_hash(rows: np.ndarray, split: bool) -> np.ndarray:
+    if split:
+        return linearhash.linear_hash_split(rows)
+    if _HAVE_NATIVE:
+        return _native.linear_hash(rows)
+    return linearhash.linear_hash(rows)
+
+
+def _host_hash_pair(inp: np.ndarray) -> np.ndarray:
+    if _HAVE_NATIVE:
+        return _native.merkle_level(inp.reshape(2, 4))[0]
+    return poseidon_gl.hash_n(inp)
+
 
 @dataclasses.dataclass
 class MerkleTree:
@@ -107,15 +128,15 @@ def calculate_root_from_proof(
 ) -> np.ndarray:
     """Recompute the root from a (values, siblings) proof — host path,
     merklehash_p.js:169-206."""
-    values = np.asarray(values, dtype=np.uint64).reshape(1, -1)
-    fn = linearhash.linear_hash_split if split_linear_hash else linearhash.linear_hash
-    h = fn(values)[0]
+    values = np.array([int(v) for v in values], dtype=np.uint64).reshape(1, -1)
+    h = _host_linear_hash(values, split_linear_hash)[0]
     for sib in proof:
+        sib = np.array([int(v) for v in sib], dtype=np.uint64)
         if idx & 1:
             inp = np.concatenate([sib, h])
         else:
             inp = np.concatenate([h, sib])
-        h = poseidon_gl.hash_n(inp)
+        h = _host_hash_pair(inp)
         idx >>= 1
     return h
 

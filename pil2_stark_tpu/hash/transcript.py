@@ -12,6 +12,19 @@ import numpy as np
 
 from . import poseidon_gl
 
+try:  # native C++ permutation (runtime/) — bit-identical, much faster host path
+    from ..runtime import native as _native
+
+    _HAVE_NATIVE = _native.native_available()
+except Exception:  # pragma: no cover
+    _HAVE_NATIVE = False
+
+
+def _permute(state: np.ndarray) -> np.ndarray:
+    if _HAVE_NATIVE:
+        return _native.poseidon_permute(state[None, :])[0]
+    return poseidon_gl.permute(state)
+
 
 class Transcript:
     def __init__(self):
@@ -35,9 +48,8 @@ class Transcript:
     def _update_state(self) -> None:
         while len(self.pending) < 8:
             self.pending.append(0)
-        full = poseidon_gl.permute(
-            np.array(self.pending + self.state, dtype=np.uint64)
-        )
+        state = np.array(self.pending + self.state, dtype=np.uint64)
+        full = _permute(state)
         self.out = [int(x) for x in full]
         self.pending = []
         self.state = self.out[:4]

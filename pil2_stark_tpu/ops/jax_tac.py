@@ -1,0 +1,208 @@
+"""Device TAC executor: traces a setup-compiled TAC program into one fused
+XLA computation over u32 limb-pair buffers.
+
+This is the TPU replacement for the reference's generated AVX2 chelpers
+interpreter (/root/reference/src/stark/chelpers/generateParser.js): instead
+of emitting C++ that packs 4 rows per __m256i, the whole instruction stream
+is traced under jit — every op a whole-column vectorized GL/extension op —
+and XLA fuses the chain into a few kernels over the domain.
+
+Value convention (field.jax_f3): a value is a pair (lo, hi) of uint32 arrays
+shaped (d, N) with d ∈ {1, 3}; rotations are jnp.roll on the row axis with
+the reference's (i + prime·2^extendBits) mod N addressing
+(prover_helpers.js getRef/evalMap).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field import gl64
+from ..field import jax_gl as gl
+from ..field import jax_f3 as f3g
+
+
+def _shift_amount(prime, dom, n, extend_bits):
+    if not prime:
+        return 0
+    if dom == "n":
+        return prime % n
+    return (prime << extend_bits) % n
+
+
+def _roll(v, shift):
+    if shift == 0:
+        return v
+    return (jnp.roll(v[0], -shift, axis=1), jnp.roll(v[1], -shift, axis=1))
+
+
+def _const_pair(value: int):
+    value %= gl64.P_INT
+    return (
+        jnp.full((1, 1), np.uint32(value & 0xFFFFFFFF), dtype=jnp.uint32),
+        jnp.full((1, 1), np.uint32(value >> 32), dtype=jnp.uint32),
+    )
+
+
+def make_executor(code_obj, dom: str, pil_info: dict, n_bits: int, ext_bits: int | None):
+    """Build a jitted executor for a TAC program.
+
+    The returned fn takes a dict of device inputs:
+      sections:  {"const": pair(N,w), "cm1": pair(N,w), ...} in (rows, cols)
+      x:         pair (N,)
+      Zi:        pair (nBoundaries, extN)
+      xDivXSubXi pair (extN, nOpenings, 3)
+      challenges pair (nChallenges, 3)
+      publics    pair (nPublics,)
+      evals      pair (nEvals, 3)
+    and returns the outputs the program writes: a dict with "q" / "f" pairs
+    shaped (d, N) and "cm" updates {(section, offset, dim): pair (d, N)}.
+    """
+    n = (1 << ext_bits) if dom == "ext" else (1 << n_bits)
+    extend_bits = (ext_bits - n_bits) if ext_bits is not None else 0
+    code = code_obj["code"]
+    cm_map = pil_info["cmPolsMap"]
+
+    def body(inputs):
+        tmp = {}
+        out_cm = {}
+        out = {}
+
+        def get_section_cols(section, offset, dim, prime):
+            lo, hi = inputs["sections"][section]
+            sl = (lo[:, offset : offset + dim].T, hi[:, offset : offset + dim].T)
+            return _roll(sl, _shift_amount(prime, dom, n, extend_bits))
+
+        def get_ref(r):
+            t = r["type"]
+            if t == "tmp":
+                return tmp[r["id"]]
+            if t == "const":
+                return get_section_cols("const", r["id"], 1, r.get("prime"))
+            if t == "cm":
+                p = cm_map[r["id"]]
+                key = (f"cm{p['stage']}", p["stagePos"], p["dim"])
+                if key in out_cm:
+                    return _roll(
+                        out_cm[key],
+                        _shift_amount(r.get("prime"), dom, n, extend_bits),
+                    )
+                return get_section_cols(
+                    f"cm{p['stage']}", p["stagePos"], p["dim"], r.get("prime")
+                )
+            if t == "number":
+                return _const_pair(int(r["value"]))
+            if t == "public":
+                lo, hi = inputs["publics"]
+                return (lo[None, r["id"] : r["id"] + 1], hi[None, r["id"] : r["id"] + 1])
+            if t == "challenge":
+                lo, hi = inputs["challenges"]
+                return (lo[r["id"]][:, None], hi[r["id"]][:, None])
+            if t == "eval":
+                lo, hi = inputs["evals"]
+                return (lo[r["id"]][:, None], hi[r["id"]][:, None])
+            if t == "xDivXSubXi":
+                lo, hi = inputs["xDivXSubXi"]
+                return (lo[:, r["id"], :].T, hi[:, r["id"], :].T)
+            if t == "x":
+                lo, hi = inputs["x"]
+                return (lo[None, :], hi[None, :])
+            if t == "Zi":
+                boundary = pil_info["boundaries"][r["boundaryId"]]
+                zi_index = next(
+                    i
+                    for i, b in enumerate(pil_info["boundaries"])
+                    if b["name"] == boundary["name"]
+                    and b.get("offsetMin") == boundary.get("offsetMin")
+                    and b.get("offsetMax") == boundary.get("offsetMax")
+                )
+                lo, hi = inputs["Zi"]
+                return (lo[None, zi_index, :], hi[None, zi_index, :])
+            raise ValueError(f"Invalid ref type {t}")
+
+        def broadcast_rows(v, d):
+            lo, hi = v
+            if lo.shape[0] != d:
+                z = jnp.zeros((d - lo.shape[0],) + lo.shape[1:], dtype=jnp.uint32)
+                lo = jnp.concatenate([lo, z], axis=0)
+                hi = jnp.concatenate([hi, z], axis=0)
+            if lo.shape[1] != n:
+                lo = jnp.broadcast_to(lo, (d, n))
+                hi = jnp.broadcast_to(hi, (d, n))
+            return lo, hi
+
+        def set_ref(r, val):
+            t = r["type"]
+            if t == "tmp":
+                tmp[r["id"]] = val
+                return
+            if t in ("q", "f"):
+                d = 3 if t == "f" else r["dim"]
+                out[t] = broadcast_rows(val, d)
+                return
+            if t == "cm":
+                p = cm_map[r["id"]]
+                shift = _shift_amount(r.get("prime"), dom, n, extend_bits)
+                v = broadcast_rows(val, p["dim"])
+                if shift:
+                    v = (jnp.roll(v[0], shift, axis=1), jnp.roll(v[1], shift, axis=1))
+                out_cm[(f"cm{p['stage']}", p["stagePos"], p["dim"])] = v
+                return
+            raise ValueError(f"Invalid dest type {t}")
+
+        for inst in code:
+            srcs = [get_ref(s) for s in inst["src"]]
+            op = inst["op"]
+            if op == "copy":
+                res = srcs[0]
+            elif op == "add":
+                res = f3g.add(srcs[0], srcs[1])
+            elif op == "sub":
+                res = f3g.sub(srcs[0], srcs[1])
+            elif op == "mul":
+                res = f3g.mul(srcs[0], srcs[1])
+            elif op == "muladd":
+                res = f3g.muladd(srcs[0], srcs[1], srcs[2])
+            else:
+                raise ValueError(f"Invalid op {op}")
+            set_ref(inst["dest"], res)
+
+        out["cm"] = out_cm
+        return out
+
+    return jax.jit(body)
+
+
+def pack_inputs(ctx, dom: str):
+    """Host → device packing of a ProverCtx's buffers for make_executor."""
+    sections = {}
+    suffix = "_ext" if dom == "ext" else "_n"
+    sections["const"] = gl.from_u64(np.ascontiguousarray(ctx.buffer("const", dom)))
+    for i in range(ctx.pil_info["nStages"] + (1 if dom == "ext" else 0)):
+        name = f"cm{i + 1}"
+        buf = ctx.buffers.get(f"{name}{suffix}")
+        if buf is not None:
+            sections[name] = gl.from_u64(np.ascontiguousarray(buf))
+    inputs = {
+        "sections": sections,
+        "x": gl.from_u64(ctx.x_ext if dom == "ext" else ctx.x_n),
+        "publics": gl.from_u64(
+            np.array([int(p or 0) for p in ctx.publics], dtype=np.uint64)
+        ),
+        "challenges": gl.from_u64(
+            np.array(
+                [list(c) for stage in ctx.challenges for c in stage] or [[0, 0, 0]],
+                dtype=np.uint64,
+            )
+        ),
+        "evals": gl.from_u64(
+            np.array([list(e) for e in ctx.evals] or [[0, 0, 0]], dtype=np.uint64)
+        ),
+    }
+    if dom == "ext":
+        inputs["Zi"] = gl.from_u64(ctx.Zi_ext)
+        inputs["xDivXSubXi"] = gl.from_u64(ctx.xDivXSubXi_ext)
+    return inputs

@@ -272,6 +272,32 @@ def lde_u64(x: np.ndarray, bits: int, ext_bits: int, shift: int = 7) -> np.ndarr
 # (test/fft_p.test.js cross-checks the block NTT against it).
 
 
+def ntt_host_u64(x: np.ndarray, bits: int, inverse: bool = False) -> np.ndarray:
+    """Pure-numpy radix-2 NTT along axis 0 (no JIT) — host path for small
+    transforms (FRI group iFFTs in prover/verifier) where XLA compile time
+    would dominate.  Bit-exact with ntt_u64/intt_u64."""
+    n = 1 << bits
+    x = np.asarray(x, dtype=np.uint64)
+    shape = x.shape
+    cols = x.reshape(n, -1)
+    out = cols[bit_reverse_indices(bits)].copy()
+    for s in range(1, bits + 1):
+        m = 1 << s
+        half = m >> 1
+        w = gl64.w_inv(s) if inverse else gl64.w(s)
+        tw = gl64.powers(w, half)[None, :, None]
+        v = out.reshape(n // m, m, -1)
+        u = v[:, :half]
+        t = gl64.mul(tw, v[:, half:])
+        out = np.concatenate([gl64.add(u, t), gl64.sub(u, t)], axis=1).reshape(
+            n, -1
+        )
+    if inverse:
+        n_inv = pow(n, gl64.P_INT - 2, gl64.P_INT)
+        out = gl64.mul(out, np.uint64(n_inv))
+    return out.reshape(shape)
+
+
 def naive_dft_u64(x: np.ndarray, bits: int, inverse: bool = False) -> np.ndarray:
     n = 1 << bits
     assert x.shape[0] == n

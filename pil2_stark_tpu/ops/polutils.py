@@ -14,6 +14,37 @@ import numpy as np
 from ..field import gl64, vf3, f3
 
 
+def pol_mul_axi(p, init, acc):
+    """p[i] *= init·acc^i in place semantics (polutils.js:1-7); returns the
+    scaled list (scalar f3 elements)."""
+    r = init
+    out = []
+    for c in p:
+        out.append(f3.mul(c, r))
+        r = f3.mul(r, acc)
+    return out
+
+
+def extend_pol(p: np.ndarray, extend_bits: int = 1, shift: bool = True) -> np.ndarray:
+    """Small LDE of a column (polutils.js:18-30): iNTT → scale by shift^i
+    (or w[extendBits]^i) → zero-pad → NTT.  p is (N,) or (N,3) u64."""
+    from . import ntt as ntt_ops
+
+    n = p.shape[0]
+    bits = n.bit_length() - 1
+    coefs = ntt_ops.ntt_host_u64(p, bits, inverse=True)
+    acc = gl64.SHIFT_INT if shift else gl64.w(extend_bits)
+    scale = gl64.powers(acc, n)
+    if p.ndim == 2:
+        coefs = gl64.mul(coefs, scale[:, None])
+        padded = np.zeros((n << extend_bits, p.shape[1]), dtype=np.uint64)
+    else:
+        coefs = gl64.mul(coefs, scale)
+        padded = np.zeros(n << extend_bits, dtype=np.uint64)
+    padded[:n] = coefs
+    return ntt_ops.ntt_host_u64(padded, bits + extend_bits)
+
+
 def eval_pol(p, x):
     """Horner; p is a list of scalar f3 elements (int or 3-tuple)."""
     if len(p) == 0:

@@ -11,7 +11,7 @@ import numpy as np
 
 from ..field import gl64
 from ..ops import polutils
-from ..hash.transcript import Transcript
+from ..hash.mh import build_mh, MerkleHashGL
 
 
 class ProverCtx:
@@ -93,7 +93,8 @@ class ProverCtx:
             n_openings = len(pil_info["openingPoints"])
             self.xDivXSubXi_ext = np.zeros((self.ext_N, n_openings, 3), dtype=np.uint64)
 
-        self.transcript = Transcript()
+        self.mh = build_mh(ss) if not debug else MerkleHashGL()
+        self.transcript = self.mh.new_transcript()
         self.fri_pol = {}
         self.fri_proof = {}
         self.fri_trees = {}

@@ -16,6 +16,7 @@ import numpy as np
 
 from ..field import gl64, f3, vf3
 from ..hash import merkle
+from ..hash.mh import MerkleHashGL
 from ..ops import ntt as ntt_ops
 
 
@@ -24,11 +25,14 @@ def _log2(n):
 
 
 class FRI:
-    def __init__(self, stark_struct):
+    def __init__(self, stark_struct, mh=None):
         self.in_n_bits = stark_struct["nBitsExt"]
         self.max_deg_n_bits = stark_struct["nBits"]
         self.n_queries = stark_struct["nQueries"]
         self.steps = stark_struct["steps"]
+        self.mh = mh if mh is not None else MerkleHashGL(
+            stark_struct.get("splitLinearHash", False)
+        )
 
     def fold(self, step: int, pol: np.ndarray, challenge):
         """pol: (len, 3) u64.  Returns {pol, tree, proof}."""
@@ -53,9 +57,9 @@ class FRI:
             grouped = pol.reshape(n_x, pol2_n, 3)
             # batched iNTT over the group axis: treat (pol2N*3) as columns
             bits = _log2(n_x)
-            coefs = ntt_ops.intt_u64(grouped.reshape(n_x, pol2_n * 3), bits).reshape(
-                n_x, pol2_n, 3
-            )
+            coefs = ntt_ops.ntt_host_u64(
+                grouped.reshape(n_x, pol2_n * 3), bits, inverse=True
+            ).reshape(n_x, pol2_n, 3)
             # coefs[k] *= sinv_g^k where sinv_g = shift_inv * wi^g
             wi = gl64.w_inv(pol_bits)
             sinv = gl64.mul(
@@ -75,8 +79,8 @@ class FRI:
             n_groups = 1 << self.steps[step + 1]["nBits"]
             group_size = (1 << self.steps[step]["nBits"]) // n_groups
             buff = _transposed_buffer(pol2, self.steps[step + 1]["nBits"])
-            tree = merkle.merkelize(buff, 3 * group_size, n_groups)
-            proof = {"root": tree.root}
+            tree = self.mh.merkelize(buff, 3 * group_size, n_groups)
+            proof = {"root": self.mh.root(tree)}
         else:
             tree = None
             proof = [vf3.to_scalar(pol2[i]) for i in range(pol2.shape[0])]
@@ -90,14 +94,16 @@ class FRI:
             if step == 0:
                 for q in fri_queries:
                     pol_query = [
-                        _group_proof(t, q) for t in trees[step]
+                        self.mh.get_group_proof(t, q) for t in trees[step]
                     ]
                     proof[step]["polQueries"].append(pol_query)
             else:
                 for i in range(len(fri_queries)):
                     fri_queries[i] = fri_queries[i] % (1 << self.steps[step]["nBits"])
                 for q in fri_queries:
-                    proof[step]["polQueries"].append(_group_proof(trees[step], q))
+                    proof[step]["polQueries"].append(
+                        self.mh.get_group_proof(trees[step], q)
+                    )
 
     def verify(self, fri_challenges, fri_queries, proof, check_query):
         """fri.js:107-174.  proof is the prover's fri list: [step0, step1,
@@ -137,7 +143,7 @@ class FRI:
                         return False
 
             def check_query_next(query, idx, _si=si):
-                ok = merkle.verify_group_proof(
+                ok = self.mh.verify_group_proof(
                     proof[_si + 1]["root"], query[1], idx, query[0]
                 )
                 if not ok:
@@ -178,11 +184,6 @@ def _split3(arr):
     ]
 
 
-def _group_proof(tree, idx):
-    values, siblings = merkle.get_group_proof(tree, idx)
-    return [values, siblings]
-
-
 def _scale_coefs(coefs, scale):
     """coefs[k, g] *= scale[k, g] (extension × base)."""
     return vf3.mul(coefs, scale)
@@ -210,11 +211,11 @@ def _transposed_buffer(pol2, transpose_bits):
 
 def _ifft_scalars(vals):
     """In-memory scalar iNTT over extension values (small n), matching
-    F.ifft (fft.js:165-174)."""
+    F.ifft (fft.js:165-174).  Pure-numpy host path (no JIT)."""
     n = len(vals)
     arr = np.array([f3.as3(v) for v in vals], dtype=np.uint64)
     bits = _log2(n)
-    out = ntt_ops.intt_u64(arr.reshape(n, 3), bits)
+    out = ntt_ops.ntt_host_u64(arr.reshape(n, 3), bits, inverse=True)
     return [tuple(int(x) for x in out[i]) for i in range(n)]
 
 

@@ -15,23 +15,31 @@ from __future__ import annotations
 import numpy as np
 
 from ..field import gl64, f3, vf3
-from ..hash import merkle
-from ..hash.transcript import Transcript
+from ..field import jax_gl as _jgl
+from ..utils.timing import PhaseTimer
 from ..ops import ntt as ntt_ops
+from ..ops import jax_tac
 from . import expr_eval, hints
 from .context import ProverCtx
 from .fri import FRI
 
 
-def prove(pil_info, expressions_info, const_pols, const_tree, inputs, debug=False, split_linear_hash=False):
+def prove(pil_info, expressions_info, const_pols, const_tree, inputs, debug=False, split_linear_hash=False, backend="numpy", logger=None):
     """proofGen (prover.js:7-131).  Returns {proof, publics, challenges,
     challengesFRISteps} or, in debug mode, the list of constraint errors.
 
     `inputs` = stage-1 witness columns as (N, nCm1basefield) array plus the
     publics values list: (cm1_values, publics).
+
+    backend="jax" runs the big TAC programs (im-pols, composite constraint
+    polynomial Q, FRI polynomial) as fused XLA computations on the device
+    (ops.jax_tac) instead of the vectorized-numpy host path; results are
+    bit-identical.
     """
     ctx = ProverCtx(pil_info, expressions_info, const_pols, const_tree, debug=debug)
-    ctx.split_linear_hash = split_linear_hash
+    ctx.backend = backend
+    timer = PhaseTimer(logger)
+    ctx.timer = timer
 
     cm1_values, publics_inputs = inputs
     n_cm1 = sum(1 for c in pil_info["cmPolsMap"] if c["stage"] == 1)
@@ -53,16 +61,18 @@ def prove(pil_info, expressions_info, const_pols, const_tree, inputs, debug=Fals
             continue
         if _n_challenges(pil_info, stage) > 0:
             _set_challenges(stage, ctx, challenge, rng)
-        _compute_stage(stage, ctx)
+        with timer.phase(f"stage{stage}.witness"):
+            _compute_stage(stage, ctx)
 
         if stage == 1 and not debug:
             _add_publics_transcript(ctx)
 
         if not debug:
-            if stage == q_stage:
-                commits = _compute_q(ctx)
-            else:
-                commits = _extend_and_merkelize(stage, ctx)
+            with timer.phase(f"stage{stage}.commit"):
+                if stage == q_stage:
+                    commits = _compute_q(ctx)
+                else:
+                    commits = _extend_and_merkelize(stage, ctx)
             _add_transcript(ctx.transcript, commits)
             if _n_challenges(pil_info, stage) > 0:
                 challenge = ctx.transcript.get_field()
@@ -75,16 +85,18 @@ def prove(pil_info, expressions_info, const_pols, const_tree, inputs, debug=Fals
     evals_stage = pil_info["nStages"] + 2
     _set_challenges(evals_stage, ctx, challenge, rng)
 
-    evals_commits = _compute_evals(ctx)
+    with timer.phase("evals"):
+        evals_commits = _compute_evals(ctx)
     _add_transcript(ctx.transcript, evals_commits)
     challenge = ctx.transcript.get_field()
 
     fri_stage = pil_info["nStages"] + 3
     _set_challenges(fri_stage, ctx, challenge, rng)
 
-    _compute_fri_pol(ctx)
+    with timer.phase("friPol"):
+        _compute_fri_pol(ctx)
 
-    fri = FRI(pil_info["starkStruct"])
+    fri = FRI(pil_info["starkStruct"], ctx.mh)
     ctx.fri_proof = {}
     ctx.fri_trees = {}
     ctx.fri_trees[0] = [ctx.trees[i + 1] for i in range(pil_info["nStages"] + 1)] + [
@@ -96,7 +108,8 @@ def prove(pil_info, expressions_info, const_pols, const_tree, inputs, debug=Fals
     for step in range(n_steps):
         challenge = ctx.transcript.get_field()
         ctx.challenges_fri_steps.append(challenge)
-        fold = fri.fold(step, ctx.fri_pol[step], challenge)
+        with timer.phase(f"friFold{step}"):
+            fold = fri.fold(step, ctx.fri_pol[step], challenge)
         ctx.fri_pol[step + 1] = fold["pol"]
         ctx.fri_proof[step + 1] = fold["proof"]
         if step < n_steps - 1:
@@ -104,7 +117,7 @@ def prove(pil_info, expressions_info, const_pols, const_tree, inputs, debug=Fals
             commits = [fold["proof"]["root"]]
         else:
             if pil_info["starkStruct"].get("hashCommits"):
-                commits = [_hash_commits(ctx.fri_pol[step + 1])]
+                commits = [_hash_commits(ctx, ctx.fri_pol[step + 1])]
             else:
                 commits = [vf3.to_scalar(v) for v in ctx.fri_pol[step + 1]]
         _add_transcript(ctx.transcript, commits)
@@ -124,13 +137,14 @@ def prove(pil_info, expressions_info, const_pols, const_tree, inputs, debug=Fals
         "fri": fri_proof_list,
     }
     for i in range(pil_info["nStages"] + 1):
-        proof[f"root{i + 1}"] = ctx.trees[i + 1].root
+        proof[f"root{i + 1}"] = ctx.mh.root(ctx.trees[i + 1])
 
     return {
         "proof": proof,
         "publics": ctx.publics,
         "challenges": ctx.challenges,
         "challengesFRISteps": ctx.challenges_fri_steps,
+        "timings": timer.summary(),
     }
 
 
@@ -184,20 +198,43 @@ def _compute_stage(stage, ctx):
         if stage == q_stage - 1:
             code = ctx.expressions_info["imPolsCode"][stage - 1]
             if code["code"]:
-                expr_eval.execute_code(ctx, code, dom)
+                _run_code(ctx, code, dom)
     else:
         code = next(
             e
             for e in ctx.expressions_info["expressionsCode"]
             if e["expId"] == ctx.pil_info["cExpId"]
         )
-        expr_eval.execute_code(ctx, code["code"], dom)
+        _run_code(ctx, code["code"], dom)
 
     if ctx.debug:
         for c in ctx.expressions_info["constraints"]:
             if c["stage"] != stage:
                 continue
             ctx.errors.extend(expr_eval.check_constraint(ctx, c, dom))
+
+
+def _run_code(ctx, code_obj, dom):
+    """Dispatch a TAC program to the host (numpy) or device (XLA) backend."""
+    if getattr(ctx, "backend", "numpy") != "jax":
+        expr_eval.execute_code(ctx, code_obj, dom)
+        return
+    executor = jax_tac.make_executor(
+        code_obj, dom, ctx.pil_info, ctx.n_bits, getattr(ctx, "n_bits_ext", None)
+    )
+    out = executor(jax_tac.pack_inputs(ctx, dom))
+    if "q" in out:
+        q = _jgl.to_u64(out["q"]).T
+        ctx.q_ext[:, : q.shape[1]] = q
+    if "f" in out:
+        ctx.f_ext[:, :] = _jgl.to_u64(out["f"]).T
+    for (section, offset, dim), val in out["cm"].items():
+        arr = _jgl.to_u64(val).T
+        buf = ctx.buffers[f"{section}_{dom}"]
+        if dim == 1:
+            buf[:, offset] = arr[:, 0]
+        else:
+            buf[:, offset : offset + dim] = arr
 
 
 def _extend_and_merkelize(stage, ctx):
@@ -209,10 +246,8 @@ def _extend_and_merkelize(stage, ctx):
     else:
         ext = np.zeros((ctx.ext_N, 0), dtype=np.uint64)
     ctx.buffers[f"cm{stage}_ext"][:, :] = ext
-    ctx.trees[stage] = merkle.merkelize(
-        ext, n_pols, ctx.ext_N, split_linear_hash=ctx.split_linear_hash
-    )
-    return [ctx.trees[stage].root]
+    ctx.trees[stage] = ctx.mh.merkelize(ext, n_pols, ctx.ext_N)
+    return [ctx.mh.root(ctx.trees[stage])]
 
 
 def _compute_q(ctx):
@@ -240,10 +275,8 @@ def _compute_q(ctx):
     ctx.buffers[f"cm{q_stage}_ext"][:, :] = ext
 
     n_pols_q = pil_info["mapSectionsN"].get(f"cm{q_stage}", 0)
-    ctx.trees[q_stage] = merkle.merkelize(
-        ext, n_pols_q, ctx.ext_N, split_linear_hash=ctx.split_linear_hash
-    )
-    return [ctx.trees[q_stage].root]
+    ctx.trees[q_stage] = ctx.mh.merkelize(ext, n_pols_q, ctx.ext_N)
+    return [ctx.mh.root(ctx.trees[q_stage])]
 
 
 def _compute_evals(ctx):
@@ -286,7 +319,7 @@ def _compute_evals(ctx):
         ctx.evals.append(acc)
 
     if pil_info["starkStruct"].get("hashCommits"):
-        return [_hash_commits(ctx.evals)]
+        return [_hash_commits(ctx, ctx.evals)]
     return list(ctx.evals)
 
 
@@ -326,7 +359,7 @@ def _compute_fri_pol(ctx):
         for e in ctx.expressions_info["expressionsCode"]
         if e["expId"] == pil_info["friExpId"]
     )
-    expr_eval.execute_code(ctx, code["code"], "ext")
+    _run_code(ctx, code["code"], "ext")
 
     ctx.fri_pol = {0: ctx.f_ext.copy()}
 
@@ -340,18 +373,19 @@ def _add_publics_transcript(ctx):
     hashCommits variants."""
     pil_info = ctx.pil_info
     commits = []
+    const_root = ctx.mh.root(ctx.const_tree)
     if pil_info["starkStruct"].get("hashCommits"):
-        commits.append(list(ctx.const_tree.root))
-        commits.append(_hash_commits(ctx.publics))
+        commits.append(const_root)
+        commits.append(_hash_commits(ctx, ctx.publics))
     else:
-        commits.append(list(ctx.const_tree.root))
+        commits.append(const_root)
         commits.extend(ctx.publics)
     _add_transcript(ctx.transcript, commits)
 
 
-def _hash_commits(inputs):
+def _hash_commits(ctx, inputs):
     """calculateHashStark: absorb into a fresh transcript, return state."""
-    t = Transcript()
+    t = ctx.mh.new_transcript()
     for v in inputs:
         t.put(_flatten(v))
     return t.get_state()
@@ -371,7 +405,7 @@ def _add_transcript(transcript, inputs):
 def _get_permutations(ctx, challenge):
     """getPermutationsStark: fresh transcript seeded with the query
     challenge."""
-    t = Transcript()
+    t = ctx.mh.new_transcript()
     t.put(_flatten(challenge))
     ss = ctx.pil_info["starkStruct"]
     return t.get_permutations(ss["nQueries"], ss["steps"][0]["nBits"])

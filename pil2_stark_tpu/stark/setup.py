@@ -10,7 +10,6 @@ from __future__ import annotations
 import numpy as np
 
 from ..compiler.pilinfo import pil_info as compile_pil_info
-from ..hash import merkle
 from ..ops import ntt as ntt_ops
 
 
@@ -38,15 +37,11 @@ def stark_setup(const_pols: np.ndarray, pil: dict, stark_struct: dict, options=N
             n_bits,
             n_bits_ext,
         )
-        if stark_struct.get("verificationHashType", "GL") != "GL":
-            raise NotImplementedError("BN128 tier lands with the recursion stack")
-        tree = merkle.merkelize(
-            const_ext,
-            n_constants,
-            ext_n,
-            split_linear_hash=stark_struct.get("splitLinearHash", False),
-        )
+        from ..hash.mh import build_mh
+
+        mh = build_mh(stark_struct)
+        tree = mh.merkelize(const_ext, n_constants, ext_n)
         res["constTree"] = tree
-        res["constRoot"] = tree.root
+        res["constRoot"] = mh.root(tree)
 
     return res

@@ -13,17 +13,17 @@ from __future__ import annotations
 import numpy as np
 
 from ..field import gl64, f3
-from ..hash import merkle
-from ..hash.transcript import Transcript
+from ..hash.mh import build_mh
 from .fri import FRI
 
 
 P = gl64.P_INT
 
 
-def verify(proof_obj, publics, const_root, stark_info, verifier_info, challenges=None, split_linear_hash=False):
+def verify(proof_obj, publics, const_root, stark_info, verifier_info, challenges=None):
     proof = proof_obj
     ss = stark_info["starkStruct"]
+    mh = build_mh(ss)
     n_bits = ss["nBits"]
     n = 1 << n_bits
     extend_bits = ss["nBitsExt"] - n_bits
@@ -33,13 +33,13 @@ def verify(proof_obj, publics, const_root, stark_info, verifier_info, challenges
 
     if challenges is None:
         challenges, challenges_fri_steps = calculate_transcript(
-            stark_info, proof, publics, const_root
+            stark_info, proof, publics, const_root, mh
         )
     else:
         challenges, challenges_fri_steps = challenges
 
     fri_queries = calculate_fri_queries(
-        stark_info, challenges_fri_steps[len(ss["steps"])]
+        stark_info, challenges_fri_steps[len(ss["steps"])], mh
     )
 
     ctx = {
@@ -93,21 +93,20 @@ def verify(proof_obj, publics, const_root, stark_info, verifier_info, challenges
     if not f3.eq(res, q):
         return False
 
-    fri = FRI(ss)
+    fri = FRI(ss, mh)
 
     def check_query(query, idx):
         for i in range(stark_info["nStages"] + 1):
             stage = i + 1
-            if not merkle.verify_group_proof(
-                proof[f"root{stage}"], query[i][1], idx, query[i][0], split_linear_hash
+            if not mh.verify_group_proof(
+                proof[f"root{stage}"], query[i][1], idx, query[i][0]
             ):
                 return False
-        if not merkle.verify_group_proof(
+        if not mh.verify_group_proof(
             const_root,
             query[stark_info["nStages"] + 1][1],
             idx,
             query[stark_info["nStages"] + 1][0],
-            split_linear_hash,
         ):
             return False
 
@@ -212,27 +211,29 @@ def execute_code(ctx, code):
     return get_ref(code[-1]["dest"])
 
 
-def calculate_transcript(stark_info, proof, publics, const_root):
+def calculate_transcript(stark_info, proof, publics, const_root, mh=None):
     """calculateTranscriptVerify.js:7-103."""
-    transcript = Transcript()
+    if mh is None:
+        mh = build_mh(stark_info["starkStruct"])
+    transcript = mh.new_transcript()
     challenges = []
 
-    transcript.put([int(x) for x in const_root])
+    _put_root(transcript, const_root)
     if not stark_info["starkStruct"].get("hashCommits"):
         for p in publics:
             transcript.put(int(p))
     else:
-        transcript.put(_hash_list(publics))
+        transcript.put(_hash_list(publics, mh))
 
     for i in range(stark_info["nStages"]):
         stage = i + 1
         n_ch = sum(1 for c in stark_info["challengesMap"] if c["stage"] == stage)
         challenges.append([transcript.get_field() for _ in range(n_ch)])
-        transcript.put([int(x) for x in proof[f"root{stage}"]])
+        _put_root(transcript, proof[f"root{stage}"])
 
     q_step = stark_info["nStages"]
     challenges.append([transcript.get_field()])
-    transcript.put([int(x) for x in proof[f"root{q_step + 1}"]])
+    _put_root(transcript, proof[f"root{q_step + 1}"])
 
     challenges.append([transcript.get_field()])  # xi
 
@@ -240,7 +241,7 @@ def calculate_transcript(stark_info, proof, publics, const_root):
         for ev in proof["evals"]:
             transcript.put([int(x) for x in ev])
     else:
-        transcript.put(_hash_list(proof["evals"]))
+        transcript.put(_hash_list(proof["evals"], mh))
 
     challenges.append([transcript.get_field(), transcript.get_field()])  # vf1, vf2
 
@@ -249,28 +250,40 @@ def calculate_transcript(stark_info, proof, publics, const_root):
     for step in range(len(steps)):
         challenges_fri_steps.append(transcript.get_field())
         if step < len(steps) - 1:
-            transcript.put([int(x) for x in proof["fri"][step + 1]["root"]])
+            _put_root(transcript, proof["fri"][step + 1]["root"])
         else:
             last = proof["fri"][-1]
             if not stark_info["starkStruct"].get("hashCommits"):
                 for v in last:
                     transcript.put([int(x) for x in v])
             else:
-                transcript.put(_hash_list(last))
+                transcript.put(_hash_list(last, mh))
 
     challenges_fri_steps.append(transcript.get_field())
     return challenges, challenges_fri_steps
 
 
-def calculate_fri_queries(stark_info, challenge):
-    t = Transcript()
+def calculate_fri_queries(stark_info, challenge, mh=None):
+    if mh is None:
+        mh = build_mh(stark_info["starkStruct"])
+    t = mh.new_transcript()
     t.put(list(challenge))
     ss = stark_info["starkStruct"]
     return t.get_permutations(ss["nQueries"], ss["steps"][0]["nBits"])
 
 
-def _hash_list(values):
-    t = Transcript()
+def _put_root(transcript, root):
+    """Absorb a Merkle root: 4 GL elements (GL trees) or one Fr (BN128)."""
+    if isinstance(root, (int, np.integer)) or (
+        isinstance(root, str) and root.isdigit()
+    ):
+        transcript.put(int(root))
+    else:
+        transcript.put([int(x) for x in root])
+
+
+def _hash_list(values, mh):
+    t = mh.new_transcript()
     for v in values:
         if isinstance(v, (list, tuple, np.ndarray)):
             t.put([int(x) for x in v])

@@ -1,0 +1,28 @@
+"""Structured per-phase timing — the observability gap called out in
+SURVEY.md §5 (the reference has only ad-hoc debug logging; timer hooks exist
+only in its generated C++).  Used by the prover to report a per-phase
+breakdown alongside the proof, and by bench.py."""
+from __future__ import annotations
+
+import contextlib
+import time
+
+
+class PhaseTimer:
+    def __init__(self, logger=None):
+        self.timings: dict[str, float] = {}
+        self.logger = logger
+
+    @contextlib.contextmanager
+    def phase(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self.timings[name] = self.timings.get(name, 0.0) + dt
+            if self.logger:
+                self.logger.debug(f"··· {name}: {dt * 1000:.1f} ms")
+
+    def summary(self) -> dict[str, float]:
+        return dict(sorted(self.timings.items(), key=lambda kv: -kv[1]))
