@@ -76,10 +76,11 @@ def _add_hints_info(res, expressions, hints):
     return hints_info
 
 
-def pil_info(pil, stark=True, stark_struct=None, options=None):
-    """Main entry.  `pil` is the dict from the PIL1 front-end."""
+def pil_info(pil, stark=True, stark_struct=None, options=None, pil2=False):
+    """Main entry.  `pil` is the dict from the PIL1 front-end (or the
+    flattened per-air pilout object from pil2_frontend.select_air)."""
     options = options or {}
-    info = prepare_pil(pil, stark_struct, stark, options)
+    info = prepare_pil(pil, stark_struct, stark, options, pil2=pil2)
     expressions = info["expressions"]
     constraints = info["constraints"]
     hints = info["hints"]

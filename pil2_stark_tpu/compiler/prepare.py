@@ -166,9 +166,8 @@ def add_info_expressions_symbols(symbols, expressions, exp, stark):
         exp["symbols"] = sorted(uniq.values(), key=key)
 
 
-def prepare_pil(pil, stark_struct, stark, options=None):
-    """preparePil.js:9-120 — PIL1 path (pilout/PIL2 adapter lives in
-    pil2_frontend)."""
+def prepare_pil(pil, stark_struct, stark, options=None, pil2=False):
+    """preparePil.js:9-120 — PIL1 path and PIL2 pilout path."""
     options = options or {}
     res = {
         "name": pil.get("name", "air"),
@@ -178,15 +177,19 @@ def prepare_pil(pil, stark_struct, stark, options=None):
         "challengesMap": [],
         "publicsMap": [],
         "subproofValuesMap": [],
-        "pil2": False,
+        "pil2": pil2,
         "mapSectionsN": {"const": 0},
     }
 
     pil = copy.deepcopy(pil)
-    for e in pil["expressions"]:
-        e["stage"] = 1
+    if pil2:
+        from .pil2_frontend import get_pilout_info
 
-    out = generate_pil1_polynomials(res, pil, stark, options)
+        out = get_pilout_info(res, pil, stark)
+    else:
+        for e in pil["expressions"]:
+            e["stage"] = 1
+        out = generate_pil1_polynomials(res, pil, stark, options)
     symbols = out["symbols"]
     hints = out["hints"]
     expressions = out["expressions"]

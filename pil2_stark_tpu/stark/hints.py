@@ -41,7 +41,7 @@ def _get_value(ctx, hint, name):
 
 
 def is_hint_resolved(ctx, hint) -> bool:
-    name = hint["name"]
+    name = _canon_name(hint["name"])
     if name in ("subproofValue", "public"):
         return ctx.is_symbol_calculated(_field(hint, "reference"))
     if name in ("gsum", "gprod"):
@@ -53,8 +53,12 @@ def is_hint_resolved(ctx, hint) -> bool:
     raise ValueError(f"Unknown hint type {name}")
 
 
+def _canon_name(name: str) -> str:
+    return "subproofValue" if name.lower() == "subproofvalue" else name
+
+
 def can_resolve_hint(ctx, hint, stage) -> bool:
-    name = hint["name"]
+    name = _canon_name(hint["name"])
     if name in ("subproofValue", "public"):
         expression = _field(hint, "expression")
         if expression["op"] == "cm" and not ctx.is_symbol_calculated(expression):
@@ -81,8 +85,17 @@ def can_resolve_hint(ctx, hint, stage) -> bool:
 
 
 def resolve_hint(ctx, hint) -> None:
-    name = hint["name"]
-    if name == "public":
+    name = _canon_name(hint["name"])
+    if name == "subproofValue":
+        pol = _get_value(ctx, hint, "expression")
+        position = _get_value(ctx, hint, "row_index")
+        value = pol[int(position)]
+        ref = _field(hint, "reference")
+        ctx.subproof_values[ref["id"]] = (
+            tuple(int(x) for x in value) if hasattr(value, "__len__") else int(value)
+        )
+        ctx.set_symbol_calculated(ref)
+    elif name == "public":
         pol = _get_value(ctx, hint, "expression")
         position = _get_value(ctx, hint, "row_index")
         value = pol[int(position)]
