@@ -223,6 +223,45 @@ def _jit_linear_hash(width: int, split: bool):
     return jax.jit(lambda rows: fn(rows, width))
 
 
+def merkle_levels(rows, width: int, height: int, split: bool = False):
+    """Whole Merkle tree build in one trace: leaf linear hashes + every
+    level (with the reference's even-padding rule, merklehash_p.js:28-42).
+    Returns the list of (lo, hi) digest levels, root last.  Tracing the
+    full tree as ONE program avoids a per-level compile (20 compiles for a
+    2^20 tree otherwise — compile time dominated the build)."""
+    digests = linear_hash_split(rows, width) if split else linear_hash(rows, width)
+    levels = []
+    dlo, dhi = digests
+    n = height
+    while n > 1:
+        target = 2 * ((n + 1) // 2)
+        if target != n:
+            pad = ((0, target - n), (0, 0))
+            dlo = jnp.pad(dlo, pad)
+            dhi = jnp.pad(dhi, pad)
+        levels.append((dlo, dhi))
+        dlo, dhi = hash_pairs((dlo[0::2], dhi[0::2]), (dlo[1::2], dhi[1::2]))
+        n = (n + 1) // 2
+    levels.append((dlo, dhi))
+    return levels
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_merkle_levels(width: int, height: int, split: bool):
+    return jax.jit(lambda rows: merkle_levels(rows, width, height, split))
+
+
+def merkle_levels_u64(rows: np.ndarray, split: bool = False):
+    """Host convenience: (H, W) u64 -> list of (n, 4) u64 levels."""
+    from ..field import jax_gl as _gl
+
+    rows = np.asarray(rows, dtype=np.uint64)
+    levels = _jit_merkle_levels(rows.shape[1], rows.shape[0], split)(
+        _gl.from_u64(rows)
+    )
+    return [_gl.to_u64(lvl) for lvl in levels]
+
+
 def linear_hash_u64(rows: np.ndarray, split: bool = False) -> np.ndarray:
     rows = np.asarray(rows, dtype=np.uint64)
     out = _jit_linear_hash(rows.shape[1], split)(gl.from_u64(rows))

@@ -75,6 +75,8 @@ def _pad_even(digests: np.ndarray) -> np.ndarray:
 
 def _leaf_digests(elements: np.ndarray, split: bool, backend: str) -> np.ndarray:
     if backend == "np":
+        if _HAVE_NATIVE and not split:
+            return _native.linear_hash(elements)
         fn = linearhash.linear_hash_split if split else linearhash.linear_hash
         return fn(elements)
     return jax_poseidon.linear_hash_u64(elements, split=split)
@@ -84,6 +86,8 @@ def _hash_pairs(level: np.ndarray, backend: str) -> np.ndarray:
     """level (2m, 4) -> (m, 4)."""
     pairs = level.reshape(-1, 8)
     if backend == "np":
+        if _HAVE_NATIVE:
+            return _native.merkle_level(level)
         return poseidon_gl.hash_n(pairs)
     out = jax_poseidon.permute_jit(
         gl.from_u64(np.concatenate(
@@ -92,14 +96,28 @@ def _hash_pairs(level: np.ndarray, backend: str) -> np.ndarray:
     return gl.to_u64((out[0][:, :4], out[1][:, :4]))
 
 
+# Below this height the device round trip + per-shape compile costs more
+# than hashing on the host (native C++); production stage trees are far
+# larger, FRI tail trees far smaller.
+_DEVICE_MIN_HEIGHT = 2048
+
+
 def merkelize(
     buff: np.ndarray,
     width: int,
     height: int,
     split_linear_hash: bool = False,
-    backend: str = "jax",
+    backend: str = "auto",
 ) -> MerkleTree:
     elements = np.asarray(buff, dtype=np.uint64).reshape(height, width)
+    if backend == "auto":
+        backend = "jax" if height >= _DEVICE_MIN_HEIGHT else "np"
+    if backend == "jax":
+        # single-trace full-tree build (one compile per (H, W) shape)
+        levels = jax_poseidon.merkle_levels_u64(elements, split_linear_hash)
+        return MerkleTree(
+            width=width, height=height, elements=elements, levels=levels
+        )
     digests = _leaf_digests(elements, split_linear_hash, backend)
     levels = [_pad_even(digests)]
     n = height

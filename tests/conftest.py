@@ -1,8 +1,11 @@
 """Test harness config: run JAX on CPU with 8 virtual devices so sharded
-(multi-chip) code paths are exercised without TPU hardware."""
+(multi-chip) code paths are exercised without TPU hardware.  A persistent
+compilation cache makes repeated suite runs cheap (compiles dominate)."""
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_pil2stark")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
