@@ -26,6 +26,14 @@ import numpy as np
 def _compile_pil(args):
     from .compiler import pil1_parser
 
+    if getattr(args, "pilout", None):
+        from .compiler import pil2_frontend
+
+        pilout = pil2_frontend.load_pilout(args.pilout)
+        pil = pil2_frontend.select_air(
+            pilout, int(args.subproof_id or 0), int(args.air_id or 0)
+        )
+        return pil, True
     if args.model:
         from .models import fibonacci
 
@@ -35,7 +43,7 @@ def _compile_pil(args):
     else:
         pil = pil1_parser.compile_pil(args.pil)
         pil["name"] = os.path.splitext(os.path.basename(args.pil))[0]
-    return pil
+    return pil, False
 
 
 def _stark_struct(args, default=None):
@@ -51,9 +59,9 @@ def cmd_genstarkinfo(args):
     from .compiler.pilinfo import pil_info
     from .utils import serialization
 
-    pil = _compile_pil(args)
+    pil, pil2 = _compile_pil(args)
     ss = _stark_struct(args)
-    out = pil_info(pil, stark=True, stark_struct=ss)
+    out = pil_info(pil, stark=True, stark_struct=ss, pil2=pil2)
     serialization.dump_json(out["pilInfo"], args.starkinfo)
     serialization.dump_json(out["expressionsInfo"], args.expressionsinfo)
     serialization.dump_json(out["verifierInfo"], args.verifierinfo)
@@ -154,6 +162,9 @@ def main(argv=None):
 
     def common(sp):
         sp.add_argument("--pil")
+        sp.add_argument("--pilout", help=".pilout protobuf (PIL2)")
+        sp.add_argument("--subproof-id", dest="subproof_id")
+        sp.add_argument("--air-id", dest="air_id")
         sp.add_argument("--model")
         sp.add_argument("--nbits", type=int)
         sp.add_argument("--starkstruct")
