@@ -48,21 +48,31 @@ def calculate_exp_deg(expressions, exp, im_exps=None, cache_values=False):
 
 
 def calculate_intermediate_polynomials(expressions, c_exp_id, max_q_deg, q_dim):
-    """imPolynomials.js:86-109 — sweep degrees, keep the cheapest."""
+    """imPolynomials.js:86-109 — sweep degrees, keep the cheapest.
+
+    A candidate degree can be infeasible (the min-cut returns False) when a
+    product of LEAF columns alone exceeds it — e.g. the PlonK identity
+    Qm·a·b at d=2: there is no expression node to cut.  Such degrees are
+    skipped (the reference crashes on them; no test exercises that path)."""
     d = 2
     c_exp = expressions[c_exp_id]
-    im_exps, q_deg = _calculate_im_pols(expressions, c_exp, d)
-    added = _added_cols(expressions, im_exps, q_deg, q_dim)
-    d += 1
-    while len(im_exps) > 0 and d <= max_q_deg:
+    im_exps, q_deg = False, -1
+    added = None
+    while d <= max_q_deg:
         im_exps_p, q_deg_p = _calculate_im_pols(expressions, c_exp, d)
-        new_added = _added_cols(expressions, im_exps_p, q_deg_p, q_dim)
         d += 1
-        if (max_q_deg and new_added < added) or (not max_q_deg and len(im_exps_p) == 0):
+        if im_exps_p is False:
+            continue
+        new_added = _added_cols(expressions, im_exps_p, q_deg_p, q_dim)
+        if added is None or new_added < added:
             added = new_added
             im_exps, q_deg = im_exps_p, q_deg_p
         if len(im_exps_p) == 0:
             break
+    if im_exps is False:
+        raise ValueError(
+            f"Constraint degree cannot be bounded by maxDeg={max_q_deg}"
+        )
     return {"newExpressions": expressions, "imExps": im_exps, "qDeg": q_deg}
 
 

@@ -89,9 +89,11 @@ def pil_info(pil, stark=True, stark_struct=None, options=None, pil2=False):
 
     if stark:
         if options.get("debug"):
-            # debug starkStruct has no nBitsExt; the reference's NaN maxDeg
-            # degenerates to a single d=2 sweep — use 2 explicitly.
-            max_deg = 2
+            # debug has no extension domain, so the bound is immaterial for
+            # the constraint check — use a generous sweep so machines whose
+            # leaf products exceed degree 2 (e.g. PlonK Qm·a·b) still get a
+            # feasible im-pols selection.
+            max_deg = 2 ** 3 + 1
         else:
             ss = res["starkStruct"]
             max_deg = (1 << (ss["nBitsExt"] - ss["nBits"])) + 1
