@@ -152,7 +152,8 @@ def _eval_exp(ctx, symbols, expressions, exp, prime):
     if op == "number":
         return {"type": "number", "value": str(exp["value"]), "dim": 1}
     if op == "subproofValue":
-        return {"type": "subproofValue", "id": exp["id"], "dim": exp["dim"]}
+        return {"type": "subproofValue", "id": exp["id"], "dim": exp["dim"],
+                "subproofId": exp.get("subproofId"), "airId": exp.get("airId")}
     if op == "xDivXSubXi":
         return {"type": "xDivXSubXi", "id": exp["id"], "opening": exp["opening"], "dim": 3}
     if op == "Zi":

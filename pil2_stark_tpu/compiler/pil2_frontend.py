@@ -93,7 +93,7 @@ def _buf2int(b: bytes) -> int:
     return int.from_bytes(b, "big")
 
 
-def _decode_operand(buf) -> dict:
+def _decode_operand(buf, global_mode: bool = False) -> dict:
     (f, v), = decode_message(buf)[:1] or [(None, None)]
     fields = dict(decode_message(v))
     if f == 1:
@@ -103,7 +103,11 @@ def _decode_operand(buf) -> dict:
     if f == 3:
         return {"proofValue": {"idx": fields.get(1, 0)}}
     if f == 4:
-        return {"subproofValue": {"idx": fields.get(1, 0), "subproofId": fields.get(2, 0)}}
+        if global_mode:
+            # GlobalOperand.subproofValue = {1 subproofId, 2 idx}
+            return {"subproofValue": {"subproofId": fields.get(1, 0), "idx": fields.get(2, 0)}}
+        # air-local subproofValue references carry only the idx
+        return {"subproofValue": {"idx": fields.get(1, 0)}}
     if f == 5:
         return {"publicValue": {"idx": fields.get(1, 0)}}
     if f == 6:
@@ -123,15 +127,16 @@ def _decode_operand(buf) -> dict:
     raise ValueError(f"unknown operand field {f}")
 
 
-def _decode_expression(buf) -> dict:
+def _decode_expression(buf, global_mode: bool = False) -> dict:
     (f, v), = decode_message(buf)[:1]
     parts = decode_message(v)
     op = {1: "add", 2: "sub", 3: "mul", 4: "neg"}[f]
     if op == "neg":
-        value = _decode_operand(dict(parts)[1])
+        value = _decode_operand(dict(parts)[1], global_mode)
         return {"neg": {"value": value}}
     d = dict(parts)
-    return {op: {"lhs": _decode_operand(d[1]), "rhs": _decode_operand(d[2])}}
+    return {op: {"lhs": _decode_operand(d[1], global_mode),
+                 "rhs": _decode_operand(d[2], global_mode)}}
 
 
 def _decode_constraint(buf) -> dict:
@@ -226,6 +231,17 @@ def load_pilout(path: str) -> dict:
             pilout["numProofValues"] = v
         elif f == 6:
             pilout["numPublicValues"] = v
+        elif f == 8:
+            pilout.setdefault("expressions", []).append(
+                _decode_expression(v, global_mode=True)
+            )
+        elif f == 9:
+            d = dict(decode_message(v))
+            expr_idx = dict(decode_message(d[1]))
+            pilout.setdefault("constraints", []).append(
+                {"expressionIdx": {"idx": expr_idx.get(1, 0)},
+                 "debugLine": d.get(2, b"").decode()}
+            )
         elif f == 10:
             pilout["hints"].append(_decode_hint(v))
         elif f == 11:
@@ -613,4 +629,64 @@ def fixed_cols_array(pil) -> "np.ndarray":
     for i, col in enumerate(cols):
         for j, v in enumerate(col["values"]):
             out[j, i] = _buf2int(v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# vadcop global constraints (cross-subproof)
+
+
+def get_global_constraints_info(pilout: dict, stark: bool = True) -> list:
+    """getGlobalConstraintsInfo.js:5-48: compile the pilout's global
+    (cross-subproof) constraints into TAC programs over subproofValues /
+    publics / challenges, boundary "finalProof"."""
+    from . import codegen
+    from .prepare import add_info_expressions
+
+    if not pilout.get("constraints"):
+        return []
+
+    constraints = [
+        {"e": c["expressionIdx"]["idx"], "boundary": "finalProof",
+         "line": c.get("debugLine", "")}
+        for c in pilout["constraints"]
+    ]
+
+    # shim "pil" for format_expression: globals reference no air columns
+    shim = {
+        "expressions": pilout.get("expressions", []),
+        "numChallenges": pilout.get("numChallenges", []),
+        "stageWidths": [],
+        "subproofId": 0,
+        "name": pilout.get("name", "global"),
+    }
+    symbols_acc = []
+    save_symbols = not pilout.get("symbols")
+    expressions = [
+        format_expression(e, shim, symbols_acc, stark, save_symbols)
+        for e in shim["expressions"]
+    ]
+    symbols = symbols_acc if save_symbols else format_symbols(pilout, stark)
+
+    for c in constraints:
+        add_info_expressions(expressions, expressions[c["e"]], stark)
+
+    ctx = {
+        "calculated": {},
+        "tmpUsed": 0,
+        "code": [],
+        "dom": "n",
+        "stark": stark,
+        "airId": 0,
+        "subproofId": 0,
+        "stage": 0,
+    }
+    out = []
+    for c in constraints:
+        codegen.pil_code_gen(ctx, symbols, expressions, c["e"], 0)
+        code = codegen.build_code(ctx)
+        ctx["tmpUsed"] = code["tmpUsed"]
+        code["boundary"] = c["boundary"]
+        code["line"] = c["line"]
+        out.append(code)
     return out

@@ -159,6 +159,8 @@ def execute_code(ctx, code):
         if t == "challenge":
             return ctx["challenges"][r["stage"] - 1][r["stageId"]]
         if t == "subproofValue":
+            if ctx.get("global"):
+                return ctx["subproofValues"][r["subproofId"]][r["id"]]
             return ctx["subproofValues"][r["id"]]
         if t == "xDivXSubXi":
             return ctx["xDivXSubXi"][r["id"]]
@@ -290,3 +292,25 @@ def _hash_list(values, mh):
         else:
             t.put(int(v))
     return t.get_state()
+
+
+def verify_global_constraints(constraints_code, subproof_values, publics=None, challenges=None):
+    """Check the vadcop cross-subproof constraints (boundary finalProof)
+    against the aggregated subproofValues of the component proofs.
+    subproof_values: list per subproof of lists of values."""
+    ctx = {
+        "global": True,
+        "subproofValues": [
+            [f3.as3(v) if not isinstance(v, tuple) else v for v in sub]
+            for sub in subproof_values
+        ],
+        "publics": publics or [],
+        "challenges": challenges or [],
+        "starkInfo": {"nStages": 0, "boundaries": []},
+    }
+    failures = []
+    for i, code in enumerate(constraints_code):
+        res = execute_code(ctx, code["code"])
+        if not f3.is_zero(res):
+            failures.append(f"{code.get('line')}: global constraint {i} != 0 ({res})")
+    return failures

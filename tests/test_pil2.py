@@ -114,3 +114,23 @@ def test_pil2_module_debug_check(module_air):
         debug=True,
     )
     assert errors
+
+
+def test_global_constraints():
+    """vadcop cross-subproof constraint: gsum_fibonacci + gsum_module === 0
+    (getGlobalConstraintsInfo + finalProof evaluation)."""
+    from pil2_stark_tpu.stark.verifier import verify_global_constraints
+
+    pilout = pf.load_pilout(PILOUT)
+    codes = pf.get_global_constraints_info(pilout, stark=True)
+    assert len(codes) == 1
+    assert codes[0]["boundary"] == "finalProof"
+    assert "gsum_fibonacci+gsum_module" in codes[0]["line"]
+
+    v = (123456789, 42, 7)
+    neg = tuple((-x) % P for x in v)
+    ok = verify_global_constraints(codes, [[neg], [v]])
+    assert ok == []
+
+    bad = verify_global_constraints(codes, [[neg], [(1, 2, 3)]])
+    assert bad and "global constraint" in bad[0]
