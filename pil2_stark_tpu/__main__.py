@@ -114,6 +114,43 @@ def cmd_prove(args):
     print(f"proof written to {tmp}/proof.json; verified inputs: {publics}")
 
 
+def cmd_buildconsttree(args):
+    """main_buildconsttree.js: const pols -> extended consts + tree file +
+    verification key."""
+    from .stark import setup
+    from .hash import merkle
+    from .utils import serialization
+    from .ops import ntt as ntt_ops
+    import numpy as np
+
+    ss = _stark_struct(args)
+    if args.model == "fibonacci":
+        from .compiler import pil1_parser
+        from .models import fibonacci
+        from .stark import witness
+
+        n_bits = args.nbits or ss["nBits"]
+        n = 1 << n_bits
+        pil = pil1_parser.compile_pil_source(fibonacci.pil_source(n_bits))
+        const_cols = witness.generate_fixed_cols(pil["references"], n)
+        fibonacci.build_constants(n, const_cols.Fibonacci)
+        const_buffer = const_cols.buffer
+    elif args.const_file:
+        _, const_buffer, _ = serialization.read_const_file(args.const_file)
+    else:
+        raise SystemExit("--model or --const-file required")
+
+    ext = ntt_ops.lde_u64(const_buffer, ss["nBits"], ss["nBitsExt"])
+    tree = merkle.merkelize(
+        ext, const_buffer.shape[1], 1 << ss["nBitsExt"],
+        split_linear_hash=ss.get("splitLinearHash", False),
+    )
+    merkle.write_tree(tree, args.consttree)
+    serialization.dump_verkey(tree.root, args.verkey)
+    serialization.write_const_file(args.constsfile, const_buffer, ext)
+    print(f"wrote {args.consttree}, {args.verkey}, {args.constsfile}")
+
+
 def cmd_verify(args):
     from .stark import verifier
     from .utils import serialization
@@ -181,6 +218,14 @@ def main(argv=None):
     common(sp)
     sp.add_argument("--tmp", default="out")
     sp.set_defaults(fn=cmd_prove)
+
+    sp = sub.add_parser("buildconsttree")
+    common(sp)
+    sp.add_argument("--const-file", dest="const_file")
+    sp.add_argument("--consttree", default="consttree.bin")
+    sp.add_argument("--verkey", default="verkey.json")
+    sp.add_argument("--constsfile", default="consts.bin")
+    sp.set_defaults(fn=cmd_buildconsttree)
 
     sp = sub.add_parser("verify")
     sp.add_argument("--proof", required=True)

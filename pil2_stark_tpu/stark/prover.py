@@ -409,3 +409,28 @@ def _get_permutations(ctx, challenge):
     t.put(_flatten(challenge))
     ss = ctx.pil_info["starkStruct"]
     return t.get_permutations(ss["nQueries"], ss["steps"][0]["nBits"])
+
+
+def print_pol(ctx, pol_id, row=-1):
+    """Debug helper (stark_gen_helpers.js printPol:495-520): dump a
+    committed column's values."""
+    name = ctx.pil_info["cmPolsMap"][pol_id]["name"]
+    pol = ctx.get_pol(pol_id, "n")
+    print(f"... {name} ...:")
+    for i in range(ctx.N):
+        if row != -1 and i != row:
+            continue
+        print(f"Value at row {i} is {pol[i]}")
+
+
+def print_pol_root(ctx, pol_id):
+    """stark_gen_helpers.js printPolRoot: hash one column to compare traces
+    across provers."""
+    from ..hash import merkle as _merkle
+
+    p = ctx.get_pol_ref(pol_id, "n")
+    pol = ctx.get_pol(pol_id, "n").reshape(ctx.N, -1)
+    tree = _merkle.merkelize(pol, p["dim"], ctx.N)
+    name = ctx.pil_info["cmPolsMap"][pol_id]["name"]
+    print(f"... {name}: {list(tree.root)}")
+    return tree.root

@@ -119,3 +119,20 @@ def test_verify_rejects_corrupted_eval(fib_proof):
         )
         is False
     )
+
+
+def test_split_linear_hash_e2e(fib_pols):
+    """splitLinearHash (the 'GPU' two-level leaf layout) through a full
+    prove+verify (stark_gen_helpers.js:85-93 path)."""
+    pil, const_cols, cm_cols, publics = fib_pols
+    ss = dict(fibonacci.STARK_STRUCT)
+    ss["splitLinearHash"] = True
+    s = stark_setup.stark_setup(const_cols.buffer, pil, ss)
+    res = prover.prove(
+        s["starkInfo"], s["expressionsInfo"], const_cols.buffer, s["constTree"],
+        (cm_cols.buffer, publics),
+    )
+    assert verifier.verify(
+        res["proof"], res["publics"], s["constRoot"], s["starkInfo"],
+        s["verifierInfo"],
+    )
