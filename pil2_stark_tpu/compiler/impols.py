@@ -103,8 +103,11 @@ def _calculate_im_pols(expressions, top_exp, max_deg):
                 return rec(v1, im_pols, bound)
             if v1["op"] not in ("add", "mul", "sub", "exp") and v1.get("expDeg") == 0:
                 return rec(v0, im_pols, bound)
-            if exp["expDeg"] <= bound:
-                return im_pols, exp["expDeg"]
+            # wrapper nodes created after annotation (constraint·Zi) have no
+            # expDeg; JS `undefined <= maxDeg` is false — recurse into them
+            exp_deg = exp.get("expDeg")
+            if exp_deg is not None and exp_deg <= bound:
+                return im_pols, exp_deg
             for l in range(bound + 1):
                 r = bound - l
                 e1, d1 = rec(v0, im_pols, l)

@@ -65,3 +65,46 @@ def execute(n: int, pols, inputs) -> int:
             gl64.mul(pols.l1[i - 1], pols.l1[i - 1]),
         )
     return int(pols.l1[n - 1])
+
+
+PIL_SOURCE_BOUNDARIES = """
+constant %N = 2**{nbits};
+
+namespace Fibonacci(%N);
+
+    pol commit l1,l2;
+
+    pol l2c = l2;
+
+    public in1 = l2c(0);
+    public in2 = l1(0);
+    public out = l1(%N-1);
+
+    l2' - l1 = 0;
+
+    l1' - (l1*l1 + l2*l2) = 0;
+
+    l2 - :in1 = 0;
+    l1 - :in2 = 0;
+    l1 - :out = 0;
+"""
+
+
+def pil_boundaries(n_bits: int = 6) -> dict:
+    """The reference's boundary-variant fixture (fibonacci_main2.pil with
+    the identity boundaries mutated as in stark_fibonacci.test.js:34-44:
+    frame constraints for the recurrences, firstRow/lastRow for the public
+    bindings — no L1/LLAST selector columns)."""
+    from ..compiler import pil1_parser
+
+    pil = pil1_parser.compile_pil_source(
+        PIL_SOURCE_BOUNDARIES.format(nbits=n_bits)
+    )
+    pil["name"] = "Fibonacci"
+    idents = pil["polIdentities"]
+    idents[0].update(boundary="everyFrame", offsetMin=0, offsetMax=1)
+    idents[1].update(boundary="everyFrame", offsetMin=0, offsetMax=1)
+    idents[2]["boundary"] = "firstRow"
+    idents[3]["boundary"] = "firstRow"
+    idents[4]["boundary"] = "lastRow"
+    return pil
