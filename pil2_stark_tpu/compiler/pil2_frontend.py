@@ -124,12 +124,17 @@ def _decode_operand(buf, global_mode: bool = False) -> dict:
         }
     if f == 9:
         return {"expression": {"idx": fields.get(1, 0)}}
-    raise ValueError(f"unknown operand field {f}")
+    raise ValueError(
+        f"pilout: unknown Operand oneof field {f} — schema extension? "
+        "refusing to decode silently"
+    )
 
 
 def _decode_expression(buf, global_mode: bool = False) -> dict:
     (f, v), = decode_message(buf)[:1]
     parts = decode_message(v)
+    if f not in (1, 2, 3, 4):
+        raise ValueError(f"pilout: unknown Expression oneof field {f}")
     op = {1: "add", 2: "sub", 3: "mul", 4: "neg"}[f]
     if op == "neg":
         value = _decode_operand(dict(parts)[1], global_mode)
@@ -141,6 +146,8 @@ def _decode_expression(buf, global_mode: bool = False) -> dict:
 
 def _decode_constraint(buf) -> dict:
     (f, v), = decode_message(buf)[:1]
+    if f not in (1, 2, 3, 4):
+        raise ValueError(f"pilout: unknown Constraint oneof field {f}")
     name = {1: "firstRow", 2: "lastRow", 3: "everyRow", 4: "everyFrame"}[f]
     d = dict(decode_message(v))
     expr_idx = dict(decode_message(d[1]))
@@ -246,6 +253,14 @@ def load_pilout(path: str) -> dict:
             pilout["hints"].append(_decode_hint(v))
         elif f == 11:
             pilout["symbols"].append(_decode_symbol(v))
+        elif f == 7:
+            # AirGroupValue aggregation metadata — not needed by the
+            # single-air pipeline; kept raw so nothing decodes wrong
+            pilout.setdefault("airGroupValuesRaw", []).append(v)
+        else:
+            raise ValueError(
+                f"pilout: unknown PilOut field {f} — refusing to skip"
+            )
     return pilout
 
 
@@ -254,11 +269,15 @@ def _decode_subproof(buf) -> dict:
     for f, v in decode_message(buf):
         if f == 1:
             sub["name"] = v.decode()
+        elif f == 2:
+            sub["aggregate"] = bool(v)
         elif f == 3:
             agg = dict(decode_message(v)) if isinstance(v, bytes) else {1: v}
             sub["aggregationTypes"].append(agg.get(1, 0))
         elif f == 4:
             sub["airs"].append(_decode_air(v))
+        else:
+            raise ValueError(f"pilout: unknown Subproof field {f}")
     return sub
 
 
@@ -267,6 +286,7 @@ def _decode_air(buf) -> dict:
         "name": "",
         "numRows": 0,
         "fixedCols": [],
+        "periodicCols": [],
         "stageWidths": [],
         "expressions": [],
         "constraints": [],
@@ -280,12 +300,19 @@ def _decode_air(buf) -> dict:
             # FixedCol { repeated bytes values = 1 } (big-endian elements)
             values = [vv for vf, vv in decode_message(v) if vf == 1]
             air["fixedCols"].append({"values": values})
+        elif f == 3:
+            # PeriodicCol { repeated bytes values = 1 } — short repeating
+            # patterns tiled to numRows by getFixedPolsPil2
+            values = [vv for vf, vv in decode_message(v) if vf == 1]
+            air["periodicCols"].append({"values": values})
         elif f == 5:
             air["stageWidths"] = _packed_varints(v) if isinstance(v, bytes) else [v]
         elif f == 6:
             air["expressions"].append(_decode_expression(v))
         elif f == 7:
             air["constraints"].append(_decode_constraint(v))
+        else:
+            raise ValueError(f"pilout: unknown Air field {f}")
     return air
 
 
@@ -354,6 +381,19 @@ def format_expression(exp, pil, symbols, stark, save_symbols=False):
         out = {
             "op": "const",
             "id": exp[op]["idx"],
+            "rowOffset": exp[op]["rowOffset"],
+            "stage": 0,
+            "dim": 1,
+            "subproofId": pil["subproofId"],
+            "airId": pil["subproofId"],
+        }
+        store = True
+    elif op == "periodicCol":
+        # periodic columns are tiled to N and appended after the fixed
+        # columns (fixed_cols_array), so they address as const refs
+        out = {
+            "op": "const",
+            "id": len(pil.get("fixedCols", [])) + exp[op]["idx"],
             "rowOffset": exp[op]["rowOffset"],
             "stage": 0,
             "dim": 1,
@@ -620,15 +660,25 @@ def get_pilout_info(res, pil, stark) -> dict:
 
 
 def fixed_cols_array(pil) -> "np.ndarray":
-    """getFixedPolsPil2: (N, nConstants) u64 from the air's fixedCols."""
+    """getFixedPolsPil2: (N, nFixed + nPeriodic) u64 — explicit fixed
+    columns followed by periodic columns tiled to N."""
     import numpy as np
 
     n = pil["numRows"]
     cols = pil["fixedCols"]
-    out = np.zeros((n, len(cols)), dtype=np.uint64)
+    periodic = pil.get("periodicCols", [])
+    out = np.zeros((n, len(cols) + len(periodic)), dtype=np.uint64)
     for i, col in enumerate(cols):
         for j, v in enumerate(col["values"]):
             out[j, i] = _buf2int(v)
+    for i, col in enumerate(periodic):
+        vals = [_buf2int(v) for v in col["values"]]
+        period = len(vals)
+        if n % period:
+            raise ValueError("periodic column length does not divide N")
+        out[:, len(cols) + i] = np.tile(
+            np.array(vals, dtype=np.uint64), n // period
+        )
     return out
 
 
@@ -689,4 +739,165 @@ def get_global_constraints_info(pilout: dict, stark: bool = True) -> list:
         code["boundary"] = c["boundary"]
         code["line"] = c["line"]
         out.append(code)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# pilout encoder — produces wire bytes from the decoded dict shape, used by
+# the round-trip tests (no reference pilout generator exists in this
+# environment, so the decoder is cross-checked against its own inverse plus
+# the repo's captured fixtures)
+
+
+def _enc_varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _enc_tag(field: int, wire: int) -> bytes:
+    return _enc_varint((field << 3) | wire)
+
+
+def _enc_len(field: int, payload: bytes) -> bytes:
+    return _enc_tag(field, 2) + _enc_varint(len(payload)) + payload
+
+
+def _enc_zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v < 0 else (v << 1)
+
+
+def _enc_operand(op: dict) -> bytes:
+    (kind, body), = op.items()
+    fmap = {
+        "constant": 1, "challenge": 2, "proofValue": 3, "subproofValue": 4,
+        "publicValue": 5, "periodicCol": 6, "fixedCol": 7, "witnessCol": 8,
+        "expression": 9,
+    }
+    f = fmap[kind]
+    inner = b""
+    if kind == "constant":
+        inner = _enc_len(1, body["value"])
+    elif kind == "challenge":
+        inner = _enc_tag(1, 0) + _enc_varint(body["stage"]) + _enc_tag(2, 0) + _enc_varint(body["idx"])
+    elif kind in ("proofValue", "publicValue", "subproofValue", "expression"):
+        inner = _enc_tag(1, 0) + _enc_varint(body["idx"])
+    elif kind in ("fixedCol", "periodicCol"):
+        inner = _enc_tag(1, 0) + _enc_varint(body["idx"])
+        if body.get("rowOffset"):
+            inner += _enc_tag(2, 0) + _enc_varint(_enc_zigzag(body["rowOffset"]))
+    elif kind == "witnessCol":
+        inner = (
+            _enc_tag(1, 0) + _enc_varint(body["stage"])
+            + _enc_tag(2, 0) + _enc_varint(body["colIdx"])
+        )
+        if body.get("rowOffset"):
+            inner += _enc_tag(3, 0) + _enc_varint(_enc_zigzag(body["rowOffset"]))
+    return _enc_len(f, inner)
+
+
+def _enc_expression(exp: dict) -> bytes:
+    (op, body), = exp.items()
+    fmap = {"add": 1, "sub": 2, "mul": 3, "neg": 4}
+    if op == "neg":
+        inner = _enc_len(1, _enc_operand(body["value"]))
+    else:
+        inner = _enc_len(1, _enc_operand(body["lhs"])) + _enc_len(
+            2, _enc_operand(body["rhs"])
+        )
+    return _enc_len(fmap[op], inner)
+
+
+def _enc_constraint(c: dict) -> bytes:
+    (name, body), = c.items()
+    fmap = {"firstRow": 1, "lastRow": 2, "everyRow": 3, "everyFrame": 4}
+    inner = _enc_len(1, _enc_tag(1, 0) + _enc_varint(body["expressionIdx"]["idx"]))
+    if body.get("debugLine"):
+        inner += _enc_len(2, body["debugLine"].encode())
+    if name == "everyFrame":
+        inner += _enc_tag(3, 0) + _enc_varint(body.get("offsetMin", 0))
+        inner += _enc_tag(4, 0) + _enc_varint(body.get("offsetMax", 0))
+    return _enc_len(fmap[name], inner)
+
+
+def _enc_symbol(s: dict) -> bytes:
+    out = _enc_len(1, s["name"].encode())
+    out += _enc_tag(2, 0) + _enc_varint(s.get("subproofId", 0))
+    out += _enc_tag(3, 0) + _enc_varint(s.get("airId", 0))
+    out += _enc_tag(4, 0) + _enc_varint(s.get("type", 0))
+    out += _enc_tag(5, 0) + _enc_varint(s.get("id", 0))
+    out += _enc_tag(6, 0) + _enc_varint(s.get("stage", 0))
+    out += _enc_tag(7, 0) + _enc_varint(s.get("dim", 0))
+    for ln in s.get("lengths", []):
+        out += _enc_tag(8, 0) + _enc_varint(ln)
+    if s.get("debugLine"):
+        out += _enc_len(9, s["debugLine"].encode())
+    return out
+
+
+def _enc_hint(h: dict) -> bytes:
+    out = _enc_len(1, h["name"].encode())
+    entries = b""
+    for fld in h.get("fields", []):
+        entry = _enc_len(1, fld["name"].encode()) + _enc_len(
+            3, _enc_operand(fld["operand"])
+        )
+        entries += _enc_len(1, entry)
+    out += _enc_len(2, _enc_len(4, entries))
+    out += _enc_tag(3, 0) + _enc_varint(h.get("subproofId", 0))
+    out += _enc_tag(4, 0) + _enc_varint(h.get("airId", 0))
+    return out
+
+
+def _enc_air(air: dict) -> bytes:
+    out = _enc_len(1, air["name"].encode())
+    out += _enc_tag(2, 0) + _enc_varint(air["numRows"])
+    for col in air.get("periodicCols", []):
+        payload = b"".join(_enc_len(1, v) for v in col["values"])
+        out += _enc_len(3, payload)
+    for col in air.get("fixedCols", []):
+        payload = b"".join(_enc_len(1, v) for v in col["values"])
+        out += _enc_len(4, payload)
+    if air.get("stageWidths"):
+        out += _enc_len(5, b"".join(_enc_varint(w) for w in air["stageWidths"]))
+    for e in air.get("expressions", []):
+        out += _enc_len(6, _enc_expression(e))
+    for c in air.get("constraints", []):
+        out += _enc_len(7, _enc_constraint(c))
+    return out
+
+
+def encode_pilout(pilout: dict) -> bytes:
+    out = _enc_len(1, pilout.get("name", "").encode())
+    if "baseField" in pilout:
+        out += _enc_len(2, pilout["baseField"].to_bytes(8, "big"))
+    for sub in pilout.get("subproofs", []):
+        inner = _enc_len(1, sub["name"].encode())
+        for agg in sub.get("aggregationTypes", []):
+            inner += _enc_len(3, _enc_tag(1, 0) + _enc_varint(agg))
+        for air in sub.get("airs", []):
+            inner += _enc_len(4, _enc_air(air))
+        out += _enc_len(3, inner)
+    if pilout.get("numChallenges"):
+        out += _enc_len(4, b"".join(_enc_varint(c) for c in pilout["numChallenges"]))
+    if pilout.get("numProofValues"):
+        out += _enc_tag(5, 0) + _enc_varint(pilout["numProofValues"])
+    if pilout.get("numPublicValues"):
+        out += _enc_tag(6, 0) + _enc_varint(pilout["numPublicValues"])
+    for e in pilout.get("expressions", []):
+        out += _enc_len(8, _enc_expression(e))
+    for c in pilout.get("constraints", []):
+        out += _enc_len(
+            9, _enc_len(1, _enc_tag(1, 0) + _enc_varint(c["expressionIdx"]["idx"]))
+        )
+    for h in pilout.get("hints", []):
+        out += _enc_len(10, _enc_hint(h))
+    for s in pilout.get("symbols", []):
+        out += _enc_len(11, _enc_symbol(s))
     return out

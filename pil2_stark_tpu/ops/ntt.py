@@ -169,7 +169,14 @@ def _axis0_ntt(x, bits: int, inverse: bool):
     """NTT along axis 0 of (n, B) limb arrays, natural order in/out."""
     if bits <= _BASE_BITS:
         return _axis0_base(x, bits, inverse)
-    bits1 = bits // 2
+    # Keep one factor at the VMEM-resident base size whenever possible:
+    # 2^24 splits (13, 11) -> ((2, 11), 11), not (12, 12) -> (6, 6)... —
+    # the latter loses the 2^11 base and pays two extra HBM-roundtrip
+    # transposes per level.
+    if bits <= 2 * _BASE_BITS:
+        bits1 = bits - _BASE_BITS
+    else:
+        bits1 = bits // 2
     bits2 = bits - bits1
     n1, n2 = 1 << bits1, 1 << bits2
     b = x[0].shape[1]
