@@ -480,16 +480,20 @@ def generate_constraint_polynomial_verifier_code(res, verifier_info, symbols, ex
 
     pil_code_gen(ctx, symbols, expressions, res["cExpId"], 0, ev_map_mode=True)
 
-    q_index = next(
-        i
-        for i, p in enumerate(res["cmPolsMap"])
-        if p["stage"] == res["nStages"] + 1 and p.get("stageId") == 0
-    )
-    opening_pos = res["openingPoints"].index(0)
-    for i in range(res["qDeg"]):
-        ctx["evMap"].append(
-            {"type": "cm", "id": q_index + i, "prime": 0, "openingPos": opening_pos}
+    if stark:
+        # Q split columns are cm pols opened like any other (generateCode.js
+        # :187-191); in fflonk mode Q is a single shplonk polynomial whose
+        # evaluation the verifier derives, so it has no evMap entries.
+        q_index = next(
+            i
+            for i, p in enumerate(res["cmPolsMap"])
+            if p["stage"] == res["nStages"] + 1 and p.get("stageId") == 0
         )
+        opening_pos = res["openingPoints"].index(0)
+        for i in range(res["qDeg"]):
+            ctx["evMap"].append(
+                {"type": "cm", "id": q_index + i, "prime": 0, "openingPos": opening_pos}
+            )
 
     def ev_key(e):
         # cm sorts after const; then id; then prime
@@ -500,6 +504,26 @@ def generate_constraint_polynomial_verifier_code(res, verifier_info, symbols, ex
     pil_code_gen(ctx, symbols, expressions, res["cExpId"], 0)
     verifier_info["qVerifier"] = build_code(ctx)
     res["evMap"] = ctx["evMap"]
+
+    if not stark:
+        # generateCode.js:209-219 — fflonk ZK sizing.  Quirks preserved:
+        # the per-pol opening count is initialized to 1 and then
+        # incremented (so it's actual openings + 1), and nBitsZK divides
+        # pilPower (the log2 size), not the size itself.
+        import math
+
+        n_openings = {}
+        for ev in res["evMap"]:
+            if ev["type"] == "const":
+                continue
+            key = f"{ev['type']}{ev['id']}"
+            if key not in n_openings:
+                n_openings[key] = 1
+            n_openings[key] += 1
+        res["maxPolsOpenings"] = max(n_openings.values(), default=1)
+        res["nBitsZK"] = math.ceil(
+            math.log2((res["pilPower"] + res["maxPolsOpenings"]) / res["pilPower"])
+        )
 
 
 def generate_fri_verifier_code(res, verifier_info, symbols, expressions):

@@ -35,6 +35,11 @@ def generate_constraint_polynomial(res, expressions, symbols, constraints, stark
         boundary = c["boundary"]
         if boundary not in ("everyRow", "firstRow", "lastRow", "everyFrame"):
             raise ValueError(f"Boundary {boundary} not supported")
+        if not stark and boundary != "everyRow":
+            raise NotImplementedError(
+                "the fflonk tier divides by Z_H only; boundary "
+                f"'{boundary}' constraints require the STARK tier"
+            )
         e = east.exp(c["e"], 0, stage)
         if boundary == "everyFrame":
             bid = next(

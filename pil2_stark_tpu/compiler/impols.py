@@ -218,10 +218,19 @@ def add_intermediate_polynomials(res, expressions, constraints, symbols, im_exps
             east.mul(vc, expressions[res["cExpId"]]), e
         )
 
-    every_row = next(
-        i for i, b in enumerate(res["boundaries"]) if b["name"] == "everyRow"
-    )
-    expressions[res["cExpId"]] = east.mul(expressions[res["cExpId"]], east.zi(every_row))
+    if stark:
+        every_row = next(
+            i for i, b in enumerate(res["boundaries"]) if b["name"] == "everyRow"
+        )
+        expressions[res["cExpId"]] = east.mul(
+            expressions[res["cExpId"]], east.zi(every_row)
+        )
+    # fflonk mode: Q = C/Z_H is an exact coefficient division in the
+    # prover (fflonk divZh) and the verifier multiplies by invZh, so the
+    # constraint expression must NOT carry the Zi factor.  (The
+    # reference's current pil_info would emit a Zi reference that neither
+    # initProverFflonk nor fflonk_verify.js's executeCode can resolve —
+    # bit-rotted fflonk path; we implement the consistent scheme.)
     expressions[res["cExpId"]]["stage"] = res["nStages"] + 1
 
     c_dim = get_exp_dim_lazy(expressions, res["cExpId"], stark)

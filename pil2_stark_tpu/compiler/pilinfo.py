@@ -101,9 +101,16 @@ def pil_info(pil, stark=True, stark_struct=None, options=None, pil2=False):
         max_deg = 2 ** 3 + 1
 
     if not options.get("debug") or not options.get("skipImPols"):
-        im_info = calculate_intermediate_polynomials(
-            expressions, res["cExpId"], max_deg, res["qDim"]
-        )
+        if options.get("optImPols"):
+            from .impols_opt import optimize_im_pols
+
+            im_info = optimize_im_pols(
+                expressions, res["cExpId"], max_deg, res["qDim"]
+            )
+        else:
+            im_info = calculate_intermediate_polynomials(
+                expressions, res["cExpId"], max_deg, res["qDim"]
+            )
         add_intermediate_polynomials(
             res,
             im_info["newExpressions"],
@@ -122,7 +129,10 @@ def pil_info(pil, stark=True, stark_struct=None, options=None, pil2=False):
 
     res.pop("nCommitments", None)
     res.pop("imPolsStages", None)
-    res.pop("pilPower", None)
+    if stark:
+        # the fflonk tier sizes its domains from pilPower
+        # (fflonk_shkey.js:19, fflonk_prover_helpers.js:35)
+        res.pop("pilPower", None)
 
     return {
         "pilInfo": res,
