@@ -12,6 +12,7 @@ JS test-suite pins down.  Inputs/outputs are canonical (< p).
 """
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -237,15 +238,32 @@ def eq(a: GL, b: GL):
 
 
 def exp_const(a: GL, e: int) -> GL:
-    """a^e for a python-int exponent (unrolled square-and-multiply)."""
+    """a^e for a python-int exponent (square-and-multiply).
+
+    Small exponents unroll (cheapest — no select per step).  Large ones
+    (e.g. p−2 for the inverse) run as a lax.scan over the exponent bits:
+    unrolling 63 squarings of ~70-primitive limb muls builds a ~30k-op
+    single dependency chain that XLA's CPU/TPU schedulers choke on
+    (minutes of compile), while the scan body is ~150 ops regardless of e."""
     e = int(e) % (P_INT - 1)
     if e == 0:
         return full(a[0].shape, 1)
-    res = a
-    for bit in bin(e)[3:]:
+    if e.bit_length() <= 8:
+        res = a
+        for bit in bin(e)[3:]:
+            res = square(res)
+            if bit == "1":
+                res = mul(res, a)
+        return res
+
+    bits = jnp.asarray([b == "1" for b in bin(e)[3:]], dtype=bool)
+
+    def body(res, bit):
         res = square(res)
-        if bit == "1":
-            res = mul(res, a)
+        res = where(bit, mul(res, a), res)
+        return res, None
+
+    res, _ = jax.lax.scan(body, a, bits)
     return res
 
 

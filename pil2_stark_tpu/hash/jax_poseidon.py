@@ -223,15 +223,93 @@ def _jit_linear_hash(width: int, split: bool):
     return jax.jit(lambda rows: fn(rows, width))
 
 
+# ---------------------------------------------------------------------------
+# chunked Merkle build
+#
+# Tree levels are hashed by dispatching a FIXED-SHAPE jitted pair-hash over
+# chunks of the level, so the entire framework compiles exactly two Poseidon
+# pair programs (big + small chunk) and one leaf program per sponge length —
+# independent of tree height/width.  (Tracing the whole tree as one program
+# inlines one permutation per level: a 2^20 tree is a ~20x-permute XLA graph
+# that takes minutes to compile, PER (H, W) shape.  Chunked dispatch keeps
+# every buffer device-resident and amortizes compiles across all trees.)
+
+_PAIR_CHUNK_BIG = 8192  # pairs per dispatch on large levels
+_PAIR_CHUNK_SMALL = 256  # levels with <= this many pairs
+
+
+@jax.jit
+def _hash_level_chunk(dlo, dhi):
+    """(2m, 4) interleaved level chunk -> (m, 4) parent digests."""
+    return hash_pairs((dlo[0::2], dhi[0::2]), (dlo[1::2], dhi[1::2]))
+
+
+def _hash_level(dlo, dhi):
+    """One padded tree level (2m, 4) -> (m, 4), via fixed-chunk dispatches."""
+    n_pairs = dlo.shape[0] // 2
+    chunk = _PAIR_CHUNK_SMALL if n_pairs <= _PAIR_CHUNK_SMALL else _PAIR_CHUNK_BIG
+    total = -(-n_pairs // chunk) * chunk
+    if total != n_pairs:
+        pad = ((0, 2 * (total - n_pairs)), (0, 0))
+        dlo = jnp.pad(dlo, pad)
+        dhi = jnp.pad(dhi, pad)
+    outs = [
+        _hash_level_chunk(dlo[2 * s : 2 * (s + chunk)], dhi[2 * s : 2 * (s + chunk)])
+        for s in range(0, total, chunk)
+    ]
+    lo = outs[0][0] if len(outs) == 1 else jnp.concatenate([o[0] for o in outs])
+    hi = outs[0][1] if len(outs) == 1 else jnp.concatenate([o[1] for o in outs])
+    return lo[:n_pairs], hi[:n_pairs]
+
+
+_ROW_CHUNK = 8192  # leaf rows per linear-hash dispatch
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_leaf_chunk(n_chunks: int, split_width: int):
+    """Leaf sponge over (R, n_chunks*8) rows.  Keyed by sponge length (not
+    raw width): zero-padding a row to the next 8-multiple absorbs the same
+    chunks, so width 5..8 share one program (linearhash.js pads likewise).
+    split_width > 0 keys the split layout by its true width (the split
+    boundaries depend on it)."""
+    if split_width:
+        return jax.jit(lambda rows: linear_hash_split(rows, split_width))
+    return jax.jit(lambda rows: linear_hash(rows, n_chunks * 8))
+
+
+def _leaf_digests_device(rows, width: int, height: int, split: bool):
+    """(height, width) pair -> (height, 4) digest pair, chunked over rows."""
+    lo, hi = rows
+    if width <= 4:
+        pad = ((0, 0), (0, 4 - width))
+        return (jnp.pad(lo, pad), jnp.pad(hi, pad))
+    if split:
+        fn = _jit_leaf_chunk(0, width)
+    else:
+        n_chunks = -(-width // 8)
+        if width != n_chunks * 8:
+            pad = ((0, 0), (0, n_chunks * 8 - width))
+            lo = jnp.pad(lo, pad)
+            hi = jnp.pad(hi, pad)
+        fn = _jit_leaf_chunk(n_chunks, 0)
+    chunk = min(_ROW_CHUNK, height) if height >= _ROW_CHUNK else height
+    total = -(-height // chunk) * chunk
+    if total != height:
+        pad = ((0, total - height), (0, 0))
+        lo = jnp.pad(lo, pad)
+        hi = jnp.pad(hi, pad)
+    outs = [fn((lo[s : s + chunk], hi[s : s + chunk])) for s in range(0, total, chunk)]
+    dlo = outs[0][0] if len(outs) == 1 else jnp.concatenate([o[0] for o in outs])
+    dhi = outs[0][1] if len(outs) == 1 else jnp.concatenate([o[1] for o in outs])
+    return dlo[:height], dhi[:height]
+
+
 def merkle_levels(rows, width: int, height: int, split: bool = False):
-    """Whole Merkle tree build in one trace: leaf linear hashes + every
-    level (with the reference's even-padding rule, merklehash_p.js:28-42).
-    Returns the list of (lo, hi) digest levels, root last.  Tracing the
-    full tree as ONE program avoids a per-level compile (20 compiles for a
-    2^20 tree otherwise — compile time dominated the build)."""
-    digests = linear_hash_split(rows, width) if split else linear_hash(rows, width)
+    """Device Merkle tree build: leaf linear hashes + every level (with the
+    reference's even-padding rule, merklehash_p.js:28-42).  Returns the list
+    of (lo, hi) digest levels, root last — all device-resident."""
+    dlo, dhi = _leaf_digests_device(rows, width, height, split)
     levels = []
-    dlo, dhi = digests
     n = height
     while n > 1:
         target = 2 * ((n + 1) // 2)
@@ -240,15 +318,10 @@ def merkle_levels(rows, width: int, height: int, split: bool = False):
             dlo = jnp.pad(dlo, pad)
             dhi = jnp.pad(dhi, pad)
         levels.append((dlo, dhi))
-        dlo, dhi = hash_pairs((dlo[0::2], dhi[0::2]), (dlo[1::2], dhi[1::2]))
+        dlo, dhi = _hash_level(dlo, dhi)
         n = (n + 1) // 2
     levels.append((dlo, dhi))
     return levels
-
-
-@functools.lru_cache(maxsize=None)
-def _jit_merkle_levels(width: int, height: int, split: bool):
-    return jax.jit(lambda rows: merkle_levels(rows, width, height, split))
 
 
 def merkle_levels_u64(rows: np.ndarray, split: bool = False):
@@ -256,8 +329,8 @@ def merkle_levels_u64(rows: np.ndarray, split: bool = False):
     from ..field import jax_gl as _gl
 
     rows = np.asarray(rows, dtype=np.uint64)
-    levels = _jit_merkle_levels(rows.shape[1], rows.shape[0], split)(
-        _gl.from_u64(rows)
+    levels = merkle_levels(
+        _gl.from_u64(rows), rows.shape[1], rows.shape[0], split
     )
     return [_gl.to_u64(lvl) for lvl in levels]
 
