@@ -32,8 +32,19 @@ class MerkleHashGL:
         return tree.root
 
     def get_group_proof(self, tree, idx):
-        values, proof = merkle_gl.get_group_proof(tree, idx)
-        return [values, proof]
+        return self.get_group_proofs(tree, [idx])[0]
+
+    def get_group_proofs(self, tree, idxs):
+        """Batched query extraction — one device gather per tree for
+        device-resident trees, a host loop otherwise."""
+        from ..stark import device as _device
+
+        if isinstance(tree, _device.DeviceTree):
+            return [
+                [values, proof]
+                for values, proof in _device.gather_group_proofs(tree, idxs)
+            ]
+        return [list(merkle_gl.get_group_proof(tree, i)) for i in idxs]
 
     def verify_group_proof(self, root, proof, idx, values):
         return merkle_gl.verify_group_proof(
@@ -60,6 +71,9 @@ class MerkleHashBN128:
     def get_group_proof(self, tree, idx):
         values, proof = merkle_bn128.get_group_proof(tree, idx)
         return [values, proof]
+
+    def get_group_proofs(self, tree, idxs):
+        return [self.get_group_proof(tree, i) for i in idxs]
 
     def verify_group_proof(self, root, proof, idx, values):
         return merkle_bn128.verify_group_proof(

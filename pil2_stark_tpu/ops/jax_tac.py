@@ -25,6 +25,9 @@ from ..field import jax_gl as gl
 from ..field import jax_f3 as f3g
 
 
+_EXECUTOR_CACHE: dict = {}
+
+
 def _shift_amount(prime, dom, n, extend_bits):
     if not prime:
         return 0
@@ -48,7 +51,8 @@ def _const_pair(value: int):
 
 
 def make_executor(code_obj, dom: str, pil_info: dict, n_bits: int, ext_bits: int | None):
-    """Build a jitted executor for a TAC program.
+    """Build a jitted executor for a TAC program (cached inside pil_info so
+    repeated proofs of the same machine reuse the compiled XLA program).
 
     The returned fn takes a dict of device inputs:
       sections:  {"const": pair(N,w), "cm1": pair(N,w), ...} in (rows, cols)
@@ -61,6 +65,14 @@ def make_executor(code_obj, dom: str, pil_info: dict, n_bits: int, ext_bits: int
     and returns the outputs the program writes: a dict with "q" / "f" pairs
     shaped (d, N) and "cm" updates {(section, offset, dim): pair (d, N)}.
     """
+    # Executors are cached by object identity; the cache entry pins
+    # code_obj/pil_info alive so the id cannot be recycled.  The artifact
+    # dicts are never mutated (they get JSON-serialized by setup tooling).
+    key = (id(code_obj), id(pil_info), dom, n_bits, ext_bits)
+    hit = _EXECUTOR_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+
     n = (1 << ext_bits) if dom == "ext" else (1 << n_bits)
     extend_bits = (ext_bits - n_bits) if ext_bits is not None else 0
     code = code_obj["code"]
@@ -173,22 +185,41 @@ def make_executor(code_obj, dom: str, pil_info: dict, n_bits: int, ext_bits: int
         out["cm"] = out_cm
         return out
 
-    return jax.jit(body)
+    fn = jax.jit(body)
+    _EXECUTOR_CACHE[key] = (fn, code_obj, pil_info)
+    return fn
 
 
 def pack_inputs(ctx, dom: str):
-    """Host → device packing of a ProverCtx's buffers for make_executor."""
+    """Host → device packing of a ProverCtx's buffers for make_executor.
+
+    In device-resident mode (ctx.device) the extended-domain sections, x,
+    Zi and xDivXSubXi are already device limb pairs in ctx.dsections /
+    ctx.dx / ctx.dZi / ctx.dxdiv — no conversion or transfer happens for
+    them; only the small scalars (publics/challenges/evals) are packed."""
+    device_mode = getattr(ctx, "device", False)
     sections = {}
     suffix = "_ext" if dom == "ext" else "_n"
-    sections["const"] = gl.from_u64(np.ascontiguousarray(ctx.buffer("const", dom)))
+    dsec = ctx.dsections[dom] if device_mode else {}
+    if "const" in dsec:
+        sections["const"] = dsec["const"]
+    else:
+        sections["const"] = gl.from_u64(np.ascontiguousarray(ctx.buffer("const", dom)))
     for i in range(ctx.pil_info["nStages"] + (1 if dom == "ext" else 0)):
         name = f"cm{i + 1}"
+        if name in dsec:
+            sections[name] = dsec[name]
+            continue
         buf = ctx.buffers.get(f"{name}{suffix}")
         if buf is not None:
             sections[name] = gl.from_u64(np.ascontiguousarray(buf))
     inputs = {
         "sections": sections,
-        "x": gl.from_u64(ctx.x_ext if dom == "ext" else ctx.x_n),
+        "x": (
+            ctx.dx[dom]
+            if device_mode
+            else gl.from_u64(ctx.x_ext if dom == "ext" else ctx.x_n)
+        ),
         "publics": gl.from_u64(
             np.array([int(p or 0) for p in ctx.publics], dtype=np.uint64)
         ),
@@ -203,6 +234,8 @@ def pack_inputs(ctx, dom: str):
         ),
     }
     if dom == "ext":
-        inputs["Zi"] = gl.from_u64(ctx.Zi_ext)
-        inputs["xDivXSubXi"] = gl.from_u64(ctx.xDivXSubXi_ext)
+        inputs["Zi"] = ctx.dZi if device_mode else gl.from_u64(ctx.Zi_ext)
+        inputs["xDivXSubXi"] = (
+            ctx.dxdiv if device_mode else gl.from_u64(ctx.xDivXSubXi_ext)
+        )
     return inputs

@@ -15,13 +15,18 @@ from ..hash.mh import build_mh, MerkleHashGL
 
 
 class ProverCtx:
-    def __init__(self, pil_info, expressions_info, const_pols, const_tree, debug=False):
+    def __init__(self, pil_info, expressions_info, const_pols, const_tree, debug=False, backend="numpy", mesh=None):
         self.prover = "stark"
         self.pil_info = pil_info
         self.expressions_info = expressions_info
         self.debug = debug
         self.const_tree = const_tree
         self.trees = {}
+        self.backend = backend
+        self.device = backend == "device" and not debug
+        self.mesh = mesh if self.device else None
+        if mesh is not None and not self.device:
+            raise ValueError("mesh requires backend='device'")
 
         ss = pil_info["starkStruct"]
         self.n_bits = ss["nBits"]
@@ -58,12 +63,15 @@ class ProverCtx:
             q_stage = pil_info["nStages"] + 1
 
             self.const_ext = const_tree.elements  # (extN, nConstants)
-            for i in range(pil_info["nStages"] + 1):
-                stage = i + 1
-                w = pil_info["mapSectionsN"][f"cm{stage}"]
-                self.buffers[f"cm{stage}_ext"] = np.zeros((self.ext_N, w), dtype=np.uint64)
-            self.q_ext = np.zeros((self.ext_N, pil_info["qDim"]), dtype=np.uint64)
-            self.f_ext = np.zeros((self.ext_N, 3), dtype=np.uint64)
+            if not self.device:
+                # host extended-domain buffers; in device mode these live as
+                # u32 limb pairs on the TPU (ctx.dsections / dq / df)
+                for i in range(pil_info["nStages"] + 1):
+                    stage = i + 1
+                    w = pil_info["mapSectionsN"][f"cm{stage}"]
+                    self.buffers[f"cm{stage}_ext"] = np.zeros((self.ext_N, w), dtype=np.uint64)
+                self.q_ext = np.zeros((self.ext_N, pil_info["qDim"]), dtype=np.uint64)
+                self.f_ext = np.zeros((self.ext_N, 3), dtype=np.uint64)
             self.x_ext = gl64.mul(
                 np.uint64(gl64.SHIFT_INT),
                 gl64.powers(gl64.w(self.n_bits_ext), self.ext_N),
@@ -91,7 +99,58 @@ class ProverCtx:
                     raise ValueError(f"Invalid boundary {b['name']}")
 
             n_openings = len(pil_info["openingPoints"])
-            self.xDivXSubXi_ext = np.zeros((self.ext_N, n_openings, 3), dtype=np.uint64)
+            if not self.device:
+                self.xDivXSubXi_ext = np.zeros((self.ext_N, n_openings, 3), dtype=np.uint64)
+
+            if self.device:
+                from ..field import jax_gl as _jgl
+
+                if ss.get("verificationHashType", "GL") != "GL":
+                    raise ValueError(
+                        "backend='device' supports GL hash trees only "
+                        "(the BN128 tier runs at small recursion sizes on host)"
+                    )
+
+                if self.mesh is not None:
+                    import jax
+                    from jax.sharding import NamedSharding, PartitionSpec as _P
+
+                    self.row_sharding = NamedSharding(self.mesh, _P("x", None))
+                    rows1d = NamedSharding(self.mesh, _P("x"))
+
+                    def _put(pair, sharding):
+                        return (
+                            jax.device_put(pair[0], sharding),
+                            jax.device_put(pair[1], sharding),
+                        )
+
+                    self.dsections = {
+                        "n": {"const": _put(_jgl.from_u64(self.const_n), self.row_sharding)},
+                        "ext": {"const": _put(_jgl.from_u64(self.const_ext), self.row_sharding)},
+                    }
+                    self.dx = {
+                        "n": _put(_jgl.from_u64(self.x_n), rows1d),
+                        "ext": _put(_jgl.from_u64(self.x_ext), rows1d),
+                    }
+                    # Zi is (nBoundaries, extN): shard the domain axis
+                    self.dZi = _put(
+                        _jgl.from_u64(self.Zi_ext),
+                        NamedSharding(self.mesh, _P(None, "x")),
+                    )
+                else:
+                    self.row_sharding = None
+                    self.dsections = {
+                        "n": {"const": _jgl.from_u64(self.const_n)},
+                        "ext": {"const": _jgl.from_u64(self.const_ext)},
+                    }
+                    self.dx = {
+                        "n": _jgl.from_u64(self.x_n),
+                        "ext": _jgl.from_u64(self.x_ext),
+                    }
+                    self.dZi = _jgl.from_u64(self.Zi_ext)
+                self.dxdiv = None
+                self.dq = None
+                self.df = None
 
         self.mh = build_mh(ss) if not debug else MerkleHashGL()
         self.transcript = self.mh.new_transcript()

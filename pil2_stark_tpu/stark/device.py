@@ -1,0 +1,296 @@
+"""Device-resident prover primitives: on-device Merkle trees, cubic-extension
+inversion, geometric series, and reductions.
+
+This is the layer that makes ``prove(backend="device")`` keep every extended-
+domain buffer on the TPU across the whole stage loop (the reference's
+equivalents are the BigBuffer stage arrays of
+/root/reference/src/stark/stark_gen_helpers.js:104-137, which live in host
+RAM because the reference is a CPU prover).  Host↔device traffic in the
+steady state is limited to: the per-stage witness upload (N·w), Merkle roots
+(4 u64 each), the evals vector, and the final query gathers — everything
+else (LDE, tree builds, Q split, DEEP evals, xDivXSubXi, FRI folds) runs as
+jitted XLA programs over u32 limb pairs.
+
+Layouts follow the package conventions: a section buffer is a ``(lo, hi)``
+uint32 pair shaped (rows, cols); a jax_f3 value carries a leading dim axis
+(d, N) with d ∈ {1, 3}.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field import gl64
+from ..field import jax_gl as gl
+from ..field import jax_f3 as jf3
+from ..hash import jax_poseidon
+
+
+# ---------------------------------------------------------------------------
+# field helpers
+
+
+def gl_inv(a):
+    """Base-field inverse via exponentiation by p-2 (elementwise, VPU).
+    ~95 GL muls per element — used once per proof on the xDivXSubXi table,
+    where it replaces the host Montgomery batch inverse (a sequential scan
+    that would not vectorize; f3g.js:370-385)."""
+    return gl.exp_const(a, gl64.P_INT - 2)
+
+
+def f3_inv(a):
+    """Closed-form cubic-extension inverse (f3g.js:136-171) on a (3, N)
+    jax_f3 value; one base-field inversion per element."""
+    a0, a1, a2 = jf3.comp(a, 0), jf3.comp(a, 1), jf3.comp(a, 2)
+    aa = gl.mul(a0, a0)
+    ac = gl.mul(a0, a2)
+    ba = gl.mul(a1, a0)
+    bb = gl.mul(a1, a1)
+    bc = gl.mul(a1, a2)
+    cc = gl.mul(a2, a2)
+
+    aaa = gl.mul(aa, a0)
+    aac = gl.mul(aa, a2)
+    abc = gl.mul(ba, a2)
+    abb = gl.mul(ba, a1)
+    acc = gl.mul(ac, a2)
+    bbb = gl.mul(bb, a1)
+    bcc = gl.mul(bc, a2)
+    ccc = gl.mul(cc, a2)
+
+    t = gl.sub(
+        gl.add(gl.add(gl.add(abc, abc), abc), gl.add(abb, bcc)),
+        gl.add(gl.add(gl.add(aaa, aac), gl.add(aac, acc)), gl.add(bbb, ccc)),
+    )
+    tinv = gl_inv(t)
+    i1 = gl.mul(gl.sub(gl.add(bc, bb), gl.add(gl.add(aa, ac), gl.add(ac, cc))), tinv)
+    i2 = gl.mul(gl.sub(ba, cc), tinv)
+    i3 = gl.mul(gl.sub(gl.add(ac, cc), bb), tinv)
+    return jf3.stack([i1, i2, i3])
+
+
+def _f3_geometric_traced(pows2, o: int, bits: int):
+    """Powers 1, xi, xi², … xi^{2^bits - 1} as a (3, n) jax_f3 value by
+    log-doubling inside a trace: pows2 = (lo, hi) pair (n_openings, bits, 3)
+    holding xi^(2^k) per opening.  log2(n) vectorized ext muls replace the
+    reference's O(N) scalar loop (stark_gen_helpers.js:219-229)."""
+    one = np.zeros((3, 1), dtype=np.uint64)
+    one[0, 0] = 1
+    acc = (
+        jnp.asarray((one & 0xFFFFFFFF).astype(np.uint32)),
+        jnp.asarray((one >> 32).astype(np.uint32)),
+    )
+    for k in range(bits):
+        step = (pows2[0][o, k][:, None], pows2[1][o, k][:, None])  # (3, 1)
+        nxt = jf3.mul(acc, step)
+        acc = (
+            jnp.concatenate([acc[0], nxt[0]], axis=1),
+            jnp.concatenate([acc[1], nxt[1]], axis=1),
+        )
+    return acc
+
+
+def f3_mul_rows(a, b):
+    """Extension multiply on trailing-axis layout: a, b are (N, 3) pairs
+    (the buffer/fri layout, vs jax_f3's leading (3, N) axis)."""
+    at = (a[0].T, a[1].T)
+    bt = (b[0].T, b[1].T)
+    r = jf3.mul(at, bt)
+    return (r[0].T, r[1].T)
+
+
+def f3_add_rows(a, b):
+    return gl.add(a, b)
+
+
+def gl_sum0(a):
+    """Tree-sum along axis 0 of a (n, ...) gl pair (mod-p associative)."""
+    lo, hi = a
+    while lo.shape[0] > 1:
+        n = lo.shape[0]
+        if n % 2:
+            pad = [(0, 1)] + [(0, 0)] * (lo.ndim - 1)
+            lo = jnp.pad(lo, pad)
+            hi = jnp.pad(hi, pad)
+        lo, hi = gl.add((lo[0::2], hi[0::2]), (lo[1::2], hi[1::2]))
+    return (lo, hi)
+
+
+# ---------------------------------------------------------------------------
+# DEEP evals + xDivXSubXi executors (cached per machine)
+
+_EVALS_CACHE: dict = {}
+
+
+def make_evals_executor(pil_info, stride: int, n_bits: int):
+    """One jitted program computing every evMap entry's opening evaluation:
+    evals[k] = Σ_i pol_k[i·stride] · LEv_opening[i]  (the reference's row
+    loop at stark_gen_helpers.js:250-264, as strided slices + vectorized
+    extension muls + a tree reduction).  The LEv tables themselves
+    (geometric series of xi per opening + iNTT, stark_gen_helpers.js:219-236)
+    are built inside the same program from the xi^(2^k) doubling scalars.
+    Inputs: sections (device pairs) and pows2 = pair (n_openings, n_bits, 3)."""
+    from ..ops import ntt as ntt_ops
+    from ..field import gl64
+
+    key = (id(pil_info), stride, n_bits)
+    hit = _EVALS_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+
+    ev_map = pil_info["evMap"]
+    openings = list(pil_info["openingPoints"])
+    cm_map = pil_info["cmPolsMap"]
+    n = 1 << n_bits
+    n_inv = pow(n, gl64.P_INT - 2, gl64.P_INT)
+
+    def body(sections, pows2):
+        lev_list = []
+        for o in range(len(openings)):
+            series = _f3_geometric_traced(pows2, o, n_bits)  # (3, N)
+            coefs = ntt_ops._axis0_ntt(
+                (series[0].T, series[1].T), n_bits, True
+            )
+            lev_list.append(gl.mul_const(coefs, n_inv))  # (N, 3)
+
+        out_lo, out_hi = [], []
+        for ev in ev_map:
+            if ev["type"] == "const":
+                sec, off, dim = "const", ev["id"], 1
+            elif ev["type"] == "cm":
+                p = cm_map[ev["id"]]
+                sec, off, dim = f"cm{p['stage']}", p["stagePos"], p["dim"]
+            else:
+                raise ValueError(f"Invalid ev type: {ev['type']}")
+            slo, shi = sections[sec]
+            lev = lev_list[openings.index(ev["prime"])]
+            if dim == 1:
+                col = (slo[::stride, off, None], shi[::stride, off, None])
+                prod = gl.mul(lev, col)  # base × ext, componentwise
+            else:
+                col = (slo[::stride, off : off + 3], shi[::stride, off : off + 3])
+                prod = f3_mul_rows(col, lev)
+            acc = gl_sum0(prod)  # (1, 3)
+            out_lo.append(acc[0])
+            out_hi.append(acc[1])
+        return (jnp.concatenate(out_lo, axis=0), jnp.concatenate(out_hi, axis=0))
+
+    fn = jax.jit(body)
+    _EVALS_CACHE[key] = (fn, pil_info)
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_xdiv(n_openings: int):
+    """xDivXSubXi table (stark_gen_helpers.js:292-323): per opening,
+    x/(x − xi·w^opening) over the extended coset — the batch inverse
+    replaced by the closed-form cubic inverse (elementwise, VPU).
+    Inputs: x (1, extN) base pair, xi3 (n_openings, 3) pair.
+    Output: (extN, n_openings, 3) pair (the TAC executor layout)."""
+
+    def body(x, xi3):
+        vs_lo, vs_hi = [], []
+        for i in range(n_openings):
+            xi = (xi3[0][i][:, None], xi3[1][i][:, None])  # (3, 1)
+            den = jf3.sub(x, xi)  # (3, extN)
+            den_inv = f3_inv(den)
+            v = jf3.mul(den_inv, x)  # (3, extN)
+            vs_lo.append(v[0].T)  # (extN, 3)
+            vs_hi.append(v[1].T)
+        return (jnp.stack(vs_lo, axis=1), jnp.stack(vs_hi, axis=1))
+
+    return jax.jit(body)
+
+
+def compute_xdiv(x_pair, xi_list):
+    """xi_list: host [(3,) u64] per opening point."""
+    n_openings = len(xi_list)
+    xi3 = gl.from_u64(np.asarray(xi_list, dtype=np.uint64).reshape(n_openings, 3))
+    x = (x_pair[0][None, :], x_pair[1][None, :])
+    return _jit_xdiv(n_openings)(x, xi3)
+
+
+# ---------------------------------------------------------------------------
+# device Merkle tree
+
+
+@dataclasses.dataclass
+class DeviceTree:
+    """Poseidon-GL Merkle tree whose elements and digest levels stay on
+    device; bit-identical shape to hash.merkle.MerkleTree (the reference's
+    merklehash_p.js layout).  Only the root (4 u64) is pulled eagerly."""
+
+    width: int
+    height: int
+    elements: tuple  # (lo, hi) pair (height, width)
+    levels: list  # [(lo, hi) (n, 4), ..., root (1, 4)]
+
+    @functools.cached_property
+    def root(self) -> np.ndarray:
+        return gl.to_u64(self.levels[-1])[0]
+
+
+def merkelize(elements, width: int, height: int, split: bool = False) -> DeviceTree:
+    """elements: (lo, hi) pair (height, width) on device."""
+    if width == 0:
+        # degenerate tree over empty rows — hash zero-width rows host-side
+        z = np.zeros((height, 0), dtype=np.uint64)
+        from ..hash import merkle as merkle_host
+
+        t = merkle_host.merkelize(z, 0, height, split_linear_hash=split, backend="np")
+        return DeviceTree(
+            width=0,
+            height=height,
+            elements=gl.from_u64(z),
+            levels=[gl.from_u64(l) for l in t.levels],
+        )
+    levels = jax_poseidon.merkle_levels(elements, width, height, split)
+    return DeviceTree(width=width, height=height, elements=elements, levels=levels)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_gather(n_levels: int):
+    """Batched query gather: elements rows + sibling path per query index,
+    in ONE device program returning ONE flat (Q, width + 4·n_levels) pair —
+    a single host transfer for all queries of a tree (each extra transfer
+    rides the tunnel round-trip in remote-TPU deployments)."""
+
+    def body(elements, levels, idxs):
+        parts_lo = [jnp.take(elements[0], idxs, axis=0)]
+        parts_hi = [jnp.take(elements[1], idxs, axis=0)]
+        cur = idxs
+        for l in range(n_levels):
+            sib_idx = cur ^ 1
+            parts_lo.append(jnp.take(levels[l][0], sib_idx, axis=0))
+            parts_hi.append(jnp.take(levels[l][1], sib_idx, axis=0))
+            cur = cur >> 1
+        return (
+            jnp.concatenate(parts_lo, axis=1),
+            jnp.concatenate(parts_hi, axis=1),
+        )
+
+    return jax.jit(body)
+
+
+def gather_group_proofs(tree: DeviceTree, idxs):
+    """Returns [(values, [sibling digests])] per idx, matching
+    merkle.get_group_proof (merklehash_p.js:142-168) bit-exactly."""
+    idxs = np.asarray(idxs, dtype=np.int32)
+    n_levels = len(tree.levels) - 1
+    flat = _jit_gather(n_levels)(
+        tree.elements, tuple(tree.levels[:-1]), jnp.asarray(idxs)
+    )
+    flat_np = gl.to_u64(flat)  # (Q, width + 4*n_levels)
+    w = tree.width
+    out = []
+    for qi in range(len(idxs)):
+        row = flat_np[qi]
+        proof = [
+            row[w + 4 * l : w + 4 * (l + 1)].copy() for l in range(n_levels)
+        ]
+        out.append((row[:w].copy(), proof))
+    return out

@@ -34,8 +34,14 @@ class FRI:
             stark_struct.get("splitLinearHash", False)
         )
 
-    def fold(self, step: int, pol: np.ndarray, challenge):
-        """pol: (len, 3) u64.  Returns {pol, tree, proof}."""
+    def fold(self, step: int, pol, challenge):
+        """pol: (len, 3) u64 — or a device (lo, hi) limb pair of that shape,
+        in which case the whole fold (grouped iNTT, coset de-scale, Horner
+        eval, transposed re-merkelization) runs on device and the returned
+        pol is a device pair (host array for the final step, whose values
+        feed the transcript).  Returns {pol, tree, proof}."""
+        if isinstance(pol, tuple):
+            return self._fold_device(step, pol, challenge)
         pol_bits = _log2(pol.shape[0])
         if step == 0:
             assert pol_bits == self.in_n_bits, "Invalid polynomial size"
@@ -87,23 +93,71 @@ class FRI:
 
         return {"pol": pol2, "tree": tree, "proof": proof}
 
+    def _fold_device(self, step: int, pol, challenge):
+        """Device-resident fold: pol is a (len, 3) limb pair.  Same math as
+        the host path (fri.js:22-81), with the per-group iFFT batched as one
+        axis-0 device NTT and the Horner eval unrolled over the (small)
+        group-coefficient axis."""
+        from ..field import jax_gl as gl
+        from . import device as dev
+
+        pol_bits = _log2(pol[0].shape[0])
+        if step == 0:
+            assert pol_bits == self.in_n_bits, "Invalid polynomial size"
+
+        shift_inv = gl64.SHIFT_INV_INT
+        if step > 0:
+            for _ in range(self.steps[0]["nBits"] - self.steps[step - 1]["nBits"]):
+                shift_inv = (shift_inv * shift_inv) % gl64.P_INT
+
+        reduction_bits = pol_bits - self.steps[step]["nBits"]
+        pol2_n = 1 << (pol_bits - reduction_bits)
+        n_x = pol[0].shape[0] // pol2_n
+
+        if step == 0:
+            pol2 = pol
+        else:
+            wi = gl64.w_inv(pol_bits)
+            sinv = gl64.mul(np.uint64(shift_inv), gl64.powers(wi, pol2_n))
+            scale = np.ones((n_x, pol2_n), dtype=np.uint64)
+            for k in range(1, n_x):
+                scale[k] = gl64.mul(scale[k - 1], sinv)
+            ch = gl.from_u64(
+                np.asarray(f3.as3(challenge), dtype=np.uint64).reshape(3, 1)
+            )
+            pol2 = _jit_fold_eval(pol_bits, pol2_n)(pol, gl.from_u64(scale), ch)
+
+        if step != len(self.steps) - 1:
+            n_groups = 1 << self.steps[step + 1]["nBits"]
+            group_size = (1 << self.steps[step]["nBits"]) // n_groups
+            buff = _transposed_device(pol2, self.steps[step + 1]["nBits"])
+            tree = dev.merkelize(
+                buff, 3 * group_size, n_groups, self.mh.split_linear_hash
+            )
+            return {"pol": pol2, "tree": tree, "proof": {"root": tree.root}}
+
+        # final step: the polynomial values feed the transcript — pull host
+        pol2_np = gl.to_u64(pol2)
+        proof = [vf3.to_scalar(pol2_np[i]) for i in range(pol2_np.shape[0])]
+        return {"pol": pol2_np, "tree": None, "proof": proof}
+
     def proof_queries(self, proof, trees, fri_queries):
         """fri.js:83-105 — mutates fri_queries (index folding) like the JS."""
         for step in range(len(self.steps)):
-            proof[step]["polQueries"] = []
             if step == 0:
-                for q in fri_queries:
-                    pol_query = [
-                        self.mh.get_group_proof(t, q) for t in trees[step]
-                    ]
-                    proof[step]["polQueries"].append(pol_query)
+                per_tree = [
+                    self.mh.get_group_proofs(t, fri_queries) for t in trees[step]
+                ]
+                proof[step]["polQueries"] = [
+                    [per_tree[t][qi] for t in range(len(trees[step]))]
+                    for qi in range(len(fri_queries))
+                ]
             else:
                 for i in range(len(fri_queries)):
                     fri_queries[i] = fri_queries[i] % (1 << self.steps[step]["nBits"])
-                for q in fri_queries:
-                    proof[step]["polQueries"].append(
-                        self.mh.get_group_proof(trees[step], q)
-                    )
+                proof[step]["polQueries"] = self.mh.get_group_proofs(
+                    trees[step], fri_queries
+                )
 
     def verify(self, fri_challenges, fri_queries, proof, check_query):
         """fri.js:107-174.  proof is the prover's fri list: [step0, step1,
@@ -169,6 +223,54 @@ class FRI:
             if not f3.is_zero(last_pol_c[i]):
                 return False
         return True
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _jit_fold_eval(pol_bits: int, pol2_n: int):
+    """Jitted grouped-iNTT + de-scale + Horner for one fold shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..field import jax_gl as gl
+    from ..field import jax_f3 as jf3
+
+    n = 1 << pol_bits
+    n_x = n // pol2_n
+    bits = _log2(n_x)
+
+    def body(pol, scale, ch):
+        g = (pol[0].reshape(n_x, pol2_n * 3), pol[1].reshape(n_x, pol2_n * 3))
+        coefs = ntt_ops.intt(g, bits)
+        clo = coefs[0].reshape(n_x, pol2_n, 3)
+        chi = coefs[1].reshape(n_x, pol2_n, 3)
+        clo, chi = gl.mul(
+            (clo, chi), (scale[0][:, :, None], scale[1][:, :, None])
+        )
+        # (n_x, 3, pol2_n) for the leading-dim extension ops
+        clo = jnp.moveaxis(clo, 2, 1)
+        chi = jnp.moveaxis(chi, 2, 1)
+        res = (clo[n_x - 1], chi[n_x - 1])
+        for k in range(n_x - 2, -1, -1):
+            res = jf3.add(jf3.mul(res, ch), (clo[k], chi[k]))
+        return (res[0].T, res[1].T)  # (pol2_n, 3)
+
+    return jax.jit(body)
+
+
+def _transposed_device(pol2, transpose_bits: int):
+    """Device twin of _transposed_buffer (fri.js getTransposedBuffer)."""
+    import jax.numpy as jnp
+
+    n = pol2[0].shape[0]
+    w = 1 << transpose_bits
+    h = n // w
+    return (
+        jnp.transpose(pol2[0].reshape(h, w, 3), (1, 0, 2)).reshape(w, h * 3),
+        jnp.transpose(pol2[1].reshape(h, w, 3), (1, 0, 2)).reshape(w, h * 3),
+    )
 
 
 def _as_tuple(v):

@@ -12,6 +12,8 @@ exactly as the reference keeps them.
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from ..field import gl64, f3, vf3
@@ -19,12 +21,12 @@ from ..field import jax_gl as _jgl
 from ..utils.timing import PhaseTimer
 from ..ops import ntt as ntt_ops
 from ..ops import jax_tac
-from . import expr_eval, hints
+from . import device, expr_eval, hints
 from .context import ProverCtx
 from .fri import FRI
 
 
-def prove(pil_info, expressions_info, const_pols, const_tree, inputs, debug=False, split_linear_hash=False, backend="numpy", logger=None):
+def prove(pil_info, expressions_info, const_pols, const_tree, inputs, debug=False, split_linear_hash=False, backend="numpy", logger=None, mesh=None):
     """proofGen (prover.js:7-131).  Returns {proof, publics, challenges,
     challengesFRISteps} or, in debug mode, the list of constraint errors.
 
@@ -35,9 +37,26 @@ def prove(pil_info, expressions_info, const_pols, const_tree, inputs, debug=Fals
     polynomial Q, FRI polynomial) as fused XLA computations on the device
     (ops.jax_tac) instead of the vectorized-numpy host path; results are
     bit-identical.
+
+    backend="device" additionally keeps every extended-domain buffer on the
+    device across the whole stage loop (stark/device.py): LDE, Merkle
+    builds, the Q split, DEEP evals, xDivXSubXi and the FRI folds all run
+    as XLA programs; host traffic is limited to per-stage witness uploads,
+    roots, evals and query gathers.  Proofs are bit-identical to the host
+    backends.
+
+    mesh (backend="device" only): a jax.sharding.Mesh with axis "x".  The
+    commit pipeline is sharded across it — stage LDEs run the four-step
+    network with all_to_all transposes (parallel/ntt_sharded), tree builds
+    as shard-local subtrees + replicated tops (parallel/merkle_sharded),
+    and the TAC/Q/evals programs auto-partition via GSPMD from the section
+    shardings.  FRI (small domains) runs replicated.  Proof bits are
+    identical to the single-device backends.
     """
-    ctx = ProverCtx(pil_info, expressions_info, const_pols, const_tree, debug=debug)
-    ctx.backend = backend
+    ctx = ProverCtx(
+        pil_info, expressions_info, const_pols, const_tree, debug=debug,
+        backend=backend, mesh=mesh,
+    )
     timer = PhaseTimer(logger)
     ctx.timer = timer
 
@@ -216,13 +235,24 @@ def _compute_stage(stage, ctx):
 
 def _run_code(ctx, code_obj, dom):
     """Dispatch a TAC program to the host (numpy) or device (XLA) backend."""
-    if getattr(ctx, "backend", "numpy") != "jax":
+    if getattr(ctx, "backend", "numpy") not in ("jax", "device"):
         expr_eval.execute_code(ctx, code_obj, dom)
         return
     executor = jax_tac.make_executor(
         code_obj, dom, ctx.pil_info, ctx.n_bits, getattr(ctx, "n_bits_ext", None)
     )
     out = executor(jax_tac.pack_inputs(ctx, dom))
+    if ctx.device and dom == "ext":
+        # fully device-resident: q/f stay as (d, extN) limb pairs
+        if "q" in out:
+            ctx.dq = out["q"]
+        if "f" in out:
+            ctx.df = out["f"]
+        if out["cm"]:
+            raise NotImplementedError(
+                "ext-domain TAC cm writes are not used by the stark pipeline"
+            )
+        return
     if "q" in out:
         q = _jgl.to_u64(out["q"]).T
         ctx.q_ext[:, : q.shape[1]] = q
@@ -241,6 +271,22 @@ def _extend_and_merkelize(stage, ctx):
     """LDE + Merkle build (stark_gen_helpers.js:388-412)."""
     buff_from = ctx.buffers[f"cm{stage}_n"]
     n_pols = ctx.pil_info["mapSectionsN"][f"cm{stage}"]
+    if ctx.device:
+        # one witness upload; LDE + full tree build stay on device
+        dev_n = _jgl.from_u64(buff_from)
+        if ctx.mesh is not None:
+            ext, tree = _extend_and_merkelize_sharded(ctx, dev_n, n_pols)
+        else:
+            if n_pols > 0:
+                ext = ntt_ops.lde(dev_n, ctx.n_bits, ctx.n_bits_ext)
+            else:
+                ext = _jgl.from_u64(np.zeros((ctx.ext_N, 0), dtype=np.uint64))
+            tree = device.merkelize(
+                ext, n_pols, ctx.ext_N, ctx.mh.split_linear_hash
+            )
+        ctx.dsections["ext"][f"cm{stage}"] = ext
+        ctx.trees[stage] = tree
+        return [ctx.mh.root(ctx.trees[stage])]
     if n_pols > 0:
         ext = ntt_ops.lde_u64(buff_from, ctx.n_bits, ctx.n_bits_ext)
     else:
@@ -248,6 +294,41 @@ def _extend_and_merkelize(stage, ctx):
     ctx.buffers[f"cm{stage}_ext"][:, :] = ext
     ctx.trees[stage] = ctx.mh.merkelize(ext, n_pols, ctx.ext_N)
     return [ctx.mh.root(ctx.trees[stage])]
+
+
+def _extend_and_merkelize_sharded(ctx, dev_n, n_pols):
+    """Mesh-sharded commit step: four-step LDE with all_to_all transposes +
+    shard-local subtree Merkle build (parallel/*), bit-exact to the
+    single-device path."""
+    import jax
+
+    from ..parallel import merkle_sharded, ntt_sharded
+
+    if n_pols == 0:
+        z = np.zeros((ctx.ext_N, 0), dtype=np.uint64)
+        ext = tuple(jax.device_put(a, ctx.row_sharding) for a in _jgl.from_u64(z))
+    else:
+        dev_n = tuple(jax.device_put(a, ctx.row_sharding) for a in dev_n)
+        lde_fn = ntt_sharded.make_sharded_lde(
+            ctx.n_bits, ctx.n_bits_ext, n_pols, ctx.mesh
+        )
+        ext = lde_fn(*dev_n)
+    tree = _merkelize_sharded(ctx, ext, n_pols)
+    return ext, tree
+
+
+def _merkelize_sharded(ctx, ext, n_pols):
+    from ..parallel import merkle_sharded
+
+    if n_pols == 0:
+        return device.merkelize(ext, 0, ctx.ext_N, ctx.mh.split_linear_hash)
+    build = merkle_sharded.make_sharded_merkle_levels(
+        ctx.ext_N, n_pols, ctx.mesh, split=ctx.mh.split_linear_hash
+    )
+    levels = build(*ext)
+    return device.DeviceTree(
+        width=n_pols, height=ctx.ext_N, elements=ext, levels=levels
+    )
 
 
 def _compute_q(ctx):
@@ -258,9 +339,13 @@ def _compute_q(ctx):
     q_dim = pil_info["qDim"]
     q_deg = pil_info["qDeg"]
 
+    shift_in_ = pow(pow(gl64.SHIFT_INT, gl64.P_INT - 2, gl64.P_INT), ctx.N, gl64.P_INT)
+    if ctx.device:
+        return _compute_q_device(ctx, q_stage, q_dim, q_deg, shift_in_)
+
     qq1 = ntt_ops.intt_u64(ctx.q_ext, ctx.n_bits_ext)  # (extN, qDim)
 
-    shift_in = pow(pow(gl64.SHIFT_INT, gl64.P_INT - 2, gl64.P_INT), ctx.N, gl64.P_INT)
+    shift_in = shift_in_
     # qq2[i, p*qDim + k] = qq1[p*N + i, k] * shiftIn^p
     qq2 = np.zeros((ctx.ext_N, q_dim * q_deg), dtype=np.uint64)
     cur_s = 1
@@ -279,6 +364,60 @@ def _compute_q(ctx):
     return [ctx.mh.root(ctx.trees[q_stage])]
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_q_split(n_bits_ext: int, n_bits: int, q_dim: int, q_deg: int, shift_in: int):
+    """ONE jitted program for the whole computeQStark transform chain
+    (iNTT(ext) → qDeg split scaled by shiftIn^p → NTT(ext)).  Keeping it a
+    single program matters: the glue ops alone, run op-by-op, dispatch
+    hundreds of per-primitive XLA compiles."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 1 << n_bits
+    ext_n = 1 << n_bits_ext
+    # shiftIn^p constants embedded per-trace as numpy limb pairs
+    sp = gl64.powers(int(shift_in), q_deg)
+    sp_lo = (sp & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    sp_hi = (sp >> np.uint64(32)).astype(np.uint32)
+
+    def body(dq):
+        # (qDim, extN) -> (extN, qDim) for the axis-0 NTT
+        qq1 = ntt_ops._axis0_ntt((dq[0].T, dq[1].T), n_bits_ext, True)
+        n_inv = pow(ext_n, gl64.P_INT - 2, gl64.P_INT)
+        qq1 = _jgl.mul_const(qq1, n_inv)
+        # qq2[i, p*qDim + k] = qq1[p*N + i, k] * shiftIn^p  (rows >= qDeg*N
+        # of qq1 are zero by the degree bound and are dropped)
+        lo = qq1[0][: q_deg * n].reshape(q_deg, n, q_dim)
+        hi = qq1[1][: q_deg * n].reshape(q_deg, n, q_dim)
+        lo, hi = _jgl.mul(
+            (lo, hi), (sp_lo[:, None, None], sp_hi[:, None, None])
+        )
+        lo = jnp.moveaxis(lo, 0, 1).reshape(n, q_deg * q_dim)
+        hi = jnp.moveaxis(hi, 0, 1).reshape(n, q_deg * q_dim)
+        pad = ((0, ext_n - n), (0, 0))
+        return ntt_ops._axis0_ntt(
+            (jnp.pad(lo, pad), jnp.pad(hi, pad)), n_bits_ext, False
+        )
+
+    return jax.jit(body)
+
+
+def _compute_q_device(ctx, q_stage, q_dim, q_deg, shift_in):
+    """Device-resident computeQStark: the whole iNTT(ext) → qDeg split
+    scaled by shiftIn^p → NTT(ext) → tree chain runs as ONE XLA program
+    over the (qDim, extN) q pair left by the cExp TAC executor."""
+    n_pols_q = ctx.pil_info["mapSectionsN"].get(f"cm{q_stage}", 0)
+    ext = _jit_q_split(ctx.n_bits_ext, ctx.n_bits, q_dim, q_deg, shift_in)(ctx.dq)
+    ctx.dsections["ext"][f"cm{q_stage}"] = ext
+    if ctx.mesh is not None:
+        ctx.trees[q_stage] = _merkelize_sharded(ctx, ext, n_pols_q)
+    else:
+        ctx.trees[q_stage] = device.merkelize(
+            ext, n_pols_q, ctx.ext_N, ctx.mh.split_linear_hash
+        )
+    return [ctx.mh.root(ctx.trees[q_stage])]
+
+
 def _compute_evals(ctx):
     """computeEvalsStark (stark_gen_helpers.js:210-273)."""
     pil_info = ctx.pil_info
@@ -286,18 +425,20 @@ def _compute_evals(ctx):
     xi_challenge = ctx.challenges[evals_stage][0]
 
     openings = pil_info["openingPoints"]
-    lev = []
+    xis = []
     for opening in openings:
         w = pow(gl64.w(ctx.n_bits), abs(int(opening)), gl64.P_INT)
         if opening < 0:
             w = pow(w, gl64.P_INT - 2, gl64.P_INT)
-        xi = f3.mul(f3.mul(xi_challenge, w), f3.inv1(gl64.SHIFT_INT))
-        # geometric series xi^k as (N, 3), then iNTT
-        series = np.zeros((ctx.N, 3), dtype=np.uint64)
-        acc = (1, 0, 0)
-        for k in range(ctx.N):
-            series[k] = acc
-            acc = f3.mul(acc, xi)
+        xis.append(f3.mul(f3.mul(xi_challenge, w), f3.inv1(gl64.SHIFT_INT)))
+
+    if ctx.device:
+        return _compute_evals_device(ctx, xis)
+
+    lev = []
+    for xi in xis:
+        # geometric series xi^k as (N, 3) via log-doubling, then iNTT
+        series = _f3_powers_np(xi, ctx.N)
         lev.append(ntt_ops.intt_u64(series, ctx.n_bits))
 
     ctx.evals = []
@@ -323,6 +464,45 @@ def _compute_evals(ctx):
     return list(ctx.evals)
 
 
+def _f3_powers_np(xi, n):
+    """Host geometric series 1, xi, …, xi^{n-1} as (n, 3) u64 by vectorized
+    log-doubling (replaces the O(N) scalar loop the reference runs at
+    stark_gen_helpers.js:219-229)."""
+    out = np.zeros((n, 3), dtype=np.uint64)
+    out[0] = (1, 0, 0)
+    k = 1
+    step = xi
+    while k < n:
+        m = min(k, n - k)
+        out[k : k + m] = vf3.mul(out[:m], np.asarray(f3.as3(step), dtype=np.uint64))
+        step = f3.square(step)
+        k *= 2
+    return out
+
+
+def _compute_evals_device(ctx, xis):
+    """Device-resident computeEvalsStark: geometric LEv tables, iNTTs and
+    all evMap reductions run as ONE jitted program; the host only supplies
+    the xi^(2^k) doubling scalars (3 u64 each per level)."""
+    pil_info = ctx.pil_info
+    pows2 = np.zeros((len(xis), ctx.n_bits, 3), dtype=np.uint64)
+    for o, xi in enumerate(xis):
+        s = xi
+        for k in range(ctx.n_bits):
+            pows2[o, k] = f3.as3(s)
+            s = f3.square(s)
+
+    stride = 1 << ctx.extend_bits
+    executor = device.make_evals_executor(pil_info, stride, ctx.n_bits)
+    out = executor(ctx.dsections["ext"], _jgl.from_u64(pows2))
+    evals_np = _jgl.to_u64(out)  # (nEv, 3)
+    ctx.evals = [tuple(int(x) for x in row) for row in evals_np]
+
+    if pil_info["starkStruct"].get("hashCommits"):
+        return [_hash_commits(ctx, ctx.evals)]
+    return list(ctx.evals)
+
+
 def _sum_ext(vals):
     """Tree-sum of (N, 3) extension values mod p."""
     arr = vf3.as3(vals)
@@ -342,17 +522,23 @@ def _compute_fri_pol(ctx):
     evals_stage = pil_info["nStages"] + 1
     xi_challenge = ctx.challenges[evals_stage][0]
 
+    xi_list = []
     for i, opening in enumerate(pil_info["openingPoints"]):
         w = pow(gl64.w(ctx.n_bits), abs(int(opening)), gl64.P_INT)
         if opening < 0:
             w = pow(w, gl64.P_INT - 2, gl64.P_INT)
-        xi = f3.mul(xi_challenge, w)  # extension
-        xi3 = np.array(f3.as3(xi), dtype=np.uint64)
-        x = ctx.x_ext  # (extN,) base
-        den = vf3.sub(x, xi3)  # (extN, 3)
-        den_inv = vf3.inv(den)
-        v = vf3.mul(den_inv, x)
-        ctx.xDivXSubXi_ext[:, i, :] = v
+        xi_list.append(f3.as3(f3.mul(xi_challenge, w)))
+
+    if ctx.device:
+        ctx.dxdiv = device.compute_xdiv(ctx.dx["ext"], xi_list)
+    else:
+        for i, xi3_t in enumerate(xi_list):
+            xi3 = np.array(xi3_t, dtype=np.uint64)
+            x = ctx.x_ext  # (extN,) base
+            den = vf3.sub(x, xi3)  # (extN, 3)
+            den_inv = vf3.inv(den)
+            v = vf3.mul(den_inv, x)
+            ctx.xDivXSubXi_ext[:, i, :] = v
 
     code = next(
         e
@@ -361,11 +547,10 @@ def _compute_fri_pol(ctx):
     )
     _run_code(ctx, code["code"], "ext")
 
-    ctx.fri_pol = {0: ctx.f_ext.copy()}
-
-
-def _compute_stage_1_publics(ctx):
-    pass
+    if ctx.device:
+        ctx.fri_pol = {0: (ctx.df[0].T, ctx.df[1].T)}  # (extN, 3) pair
+    else:
+        ctx.fri_pol = {0: ctx.f_ext.copy()}
 
 
 def _add_publics_transcript(ctx):
