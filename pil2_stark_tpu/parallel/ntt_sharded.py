@@ -41,9 +41,21 @@ def _local_ntt_cols(lo, hi, bits, rev, tw):
     return ntt_ops._ntt_body((lo, hi), bits, rev, tw)
 
 
-def _twiddle_table(bits_total: int, n1: int, n2: int) -> np.ndarray:
-    """w_N^{o1·i2} as (n1, n2) u64 (host-precomputed)."""
-    w = gl64.w(bits_total)
+@functools.lru_cache(maxsize=None)
+def _consts_dir(bits: int, inverse: bool):
+    """Bit-reverse perm + per-stage twiddles, forward or inverse roots.
+    numpy pairs (trace-safe constants), shaped like ops.ntt._make_consts."""
+    rev = jnp.asarray(ntt_ops.bit_reverse_indices(bits))
+    tables = []
+    for s in range(1, bits + 1):
+        ws = gl64.w_inv(s) if inverse else gl64.w(s)
+        tables.append(gl.from_u64(gl64.powers(ws, 1 << (s - 1))))
+    return rev, tables
+
+
+def _twiddle_table(bits_total: int, n1: int, n2: int, inverse: bool = False) -> np.ndarray:
+    """w_±N^{o1·i2} as (n1, n2) u64 (host-precomputed)."""
+    w = gl64.w_inv(bits_total) if inverse else gl64.w(bits_total)
     # row o1: w^(o1*i2) — compute via powers of w^o1? O(n1*n2) host ints is
     # too slow for big N; use outer powers: w^{o1·i2} = (w^{o1})^{i2}
     base = gl64.powers(w, n1)  # w^o1
@@ -54,17 +66,21 @@ def _twiddle_table(bits_total: int, n1: int, n2: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _twiddle_pair(bits_total, n1, n2):
-    t = _twiddle_table(bits_total, n1, n2)
+def _twiddle_pair(bits_total, n1, n2, inverse=False):
+    t = _twiddle_table(bits_total, n1, n2, inverse)
     return (
         (t & np.uint64(0xFFFFFFFF)).astype(np.uint32),
         (t >> np.uint64(32)).astype(np.uint32),
     )
 
 
-def make_sharded_ntt(bits: int, n_cols: int, mesh: Mesh, axis: str = "x"):
+@functools.lru_cache(maxsize=None)
+def make_sharded_ntt(bits: int, n_cols: int, mesh: Mesh, axis: str = "x", inverse: bool = False):
     """Returns a jitted fn over (lo, hi) arrays of shape (N, C) sharded on
-    rows, computing the same DFT as ops.ntt.ntt."""
+    rows, computing the same DFT as ops.ntt.ntt (or, with inverse=True, the
+    unscaled inverse transform: running the same network on inverted roots
+    — mathematically identical to the reference's forward + index reversal
+    iNTT, fft.js:165-174, hence bit-exact after the 1/n scale)."""
     d = mesh.shape[axis]
     n = 1 << bits
     bits1 = bits // 2
@@ -72,9 +88,9 @@ def make_sharded_ntt(bits: int, n_cols: int, mesh: Mesh, axis: str = "x"):
     n1, n2 = 1 << bits1, 1 << bits2
     assert n1 % d == 0 and n2 % d == 0, "mesh axis must divide both factors"
 
-    rev1, tw1 = ntt_ops._make_consts(bits1)
-    rev2, tw2 = ntt_ops._make_consts(bits2)
-    twiddle = _twiddle_pair(bits, n1, n2)
+    rev1, tw1 = _consts_dir(bits1, inverse)
+    rev2, tw2 = _consts_dir(bits2, inverse)
+    twiddle = _twiddle_pair(bits, n1, n2, inverse)
 
     c = n_cols
 
@@ -126,38 +142,33 @@ def make_sharded_ntt(bits: int, n_cols: int, mesh: Mesh, axis: str = "x"):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=None)
 def make_sharded_lde(bits: int, ext_bits: int, n_cols: int, mesh: Mesh, axis: str = "x", shift: int = 7):
     """Sharded low-degree extension: iNTT(N) → coset scale → zero-pad →
     NTT(extN), matching ops.ntt.lde bit-exactly.
 
-    The iNTT is expressed as sharded NTT + (index reversal + scale), the
-    index reversal being a global permutation done with one all_to_all-free
-    gather on the resharded result (cheap relative to the NTTs).
+    The iNTT runs the sharded four-step network on inverted roots — no
+    index-reversal permutation exists anywhere, so there is no global
+    gather (round-1's version materialized the full array on every device
+    for the reversal, which destroyed memory scaling at 2^24).  The
+    n_inv·shift^row coset scale and the zero-pad are row-local elementwise
+    ops that GSPMD keeps on the row sharding.
     """
-    d = mesh.shape[axis]
     n = 1 << bits
     ext_n = 1 << ext_bits
-    fwd_small = make_sharded_ntt(bits, n_cols, mesh, axis)
+    inv_small = make_sharded_ntt(bits, n_cols, mesh, axis, inverse=True)
     fwd_big = make_sharded_ntt(ext_bits, n_cols, mesh, axis)
 
     n_inv = pow(n, gl64.P_INT - 2, gl64.P_INT)
-    # combined per-row scale after index-reversal: n_inv * shift^row
-    shift_pows = gl64.mul(
-        gl64.powers(shift, n), np.uint64(n_inv)
-    )
+    # per-row scale on the natural-order coefficients: n_inv * shift^row
+    shift_pows = gl64.mul(gl64.powers(shift, n), np.uint64(n_inv))
     sp = (
         (shift_pows & np.uint64(0xFFFFFFFF)).astype(np.uint32),
         (shift_pows >> np.uint64(32)).astype(np.uint32),
     )
-    # index reversal perm: coefs[i] = ntt_out[(n - i) % n]
-    perm = np.concatenate([[0], np.arange(n - 1, 0, -1)]).astype(np.int32)
 
     def body(lo, hi):
-        ylo, yhi = fwd_small(lo, hi)
-        # global permutation + scale (executed as a replicated gather — the
-        # arrays are resharded automatically by XLA under jit)
-        clo = jnp.take(ylo, perm, axis=0)
-        chi = jnp.take(yhi, perm, axis=0)
+        clo, chi = inv_small(lo, hi)
         clo, chi = gl.mul((clo, chi), (sp[0][:, None], sp[1][:, None]))
         pad = ((0, ext_n - n), (0, 0))
         return fwd_big(jnp.pad(clo, pad), jnp.pad(chi, pad))
