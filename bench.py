@@ -1,12 +1,28 @@
-"""Per-chip benchmark: Goldilocks NTT throughput (the #1 hot loop of STARK
-proving, SURVEY.md §3.2) on the attached TPU.
+"""Per-chip benchmark suite for the TPU-native STARK framework.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The reference publishes no numbers (BASELINE.md), so vs_baseline is defined
-against the per-chip HBM roofline target from BASELINE.json: 70% of the
-memory-bandwidth-bound points/s for a radix-2 NTT
-(bytes ≈ 32·N·log2(N): 2 limb planes × u32 × read+write per stage).
-vs_baseline = measured / (0.70 · roofline).
+Prints one JSON line PER METRIC; the final line is the headline metric (the
+driver parses the last line).  Metrics follow BASELINE.md's target configs:
+
+1. goldilocks_ntt_2^24      — the #1 hot loop (SURVEY.md §3.2), 1 column.
+2. lde_2^20x8               — multi-column low-degree extension (blowup 8x).
+3. poseidon_merkle_2^20x8   — device-resident full tree build (leaves/s).
+4. stark_prove_2^20         — full device-resident proof wall-clock on the
+                              fibonacci machine at a 2^20-row trace, with
+                              per-phase breakdown (VERDICT r1 item 1).
+
+vs_baseline semantics (the reference publishes no numbers — BASELINE.md):
+- NTT/LDE: measured / (0.70 × HBM roofline).  The four-step NTT makes
+  `passes` full HBM sweeps (one per recursion level plus one for the
+  inter-level transpose relayouts); roofline bytes = passes × N × 16
+  (2 u32 limb planes, read+write per sweep).  This replaces round 1's
+  32·N·log2(N) radix-2 model, which the four-step algorithm does not obey.
+- Merkle: measured / (0.70 × HBM roofline) for the minimum traffic: read
+  the leaf matrix once (N×W×8 bytes) + write/read each digest level once.
+  Poseidon is VPU-compute-bound, so this is an optimistic upper bound —
+  stated as such (the honest interpretation is "fraction of the pure
+  memory-movement bound").
+- prove: measured against the sum of the component rooflines (LDEs + trees
+  + Q NTTs + FRI folds) — i.e. vs_baseline = roofline_seconds/measured.
 """
 from __future__ import annotations
 
@@ -19,31 +35,31 @@ HBM_BYTES_PER_S = 819e9  # v5e (TPU v5 lite) HBM bandwidth
 P = 0xFFFFFFFF00000001
 
 
-def main():
-    import jax
-    from pil2_stark_tpu.field import jax_gl as gl
-    from pil2_stark_tpu.ops import ntt
+def _emit(metric, value, unit, vs_baseline, **extra):
+    rec = {
+        "metric": metric,
+        "value": round(value) if value > 100 else round(value, 4),
+        "unit": unit,
+        "vs_baseline": round(vs_baseline, 4),
+    }
+    rec.update(extra)
+    print(json.dumps(rec), flush=True)
+    return rec
 
-    bits = 22
-    cols = 1
-    n = 1 << bits
-    rng = np.random.default_rng(0)
-    x = rng.integers(0, P, size=(n, cols), dtype=np.uint64)
-    pair = gl.from_u64(x)
-    fn = ntt._jit_ntt(bits)
 
-    # The tunneled TPU runtime is fully async and host transfers ride the
-    # network, so we time K-chained executions ending in a scalar readback
-    # and difference two chain lengths to cancel constant overhead.
+def _chain_time(fn, arg, k_short=1, k_long=9, reps=3):
+    """Time k chained executions ending in a scalar readback; difference two
+    chain lengths to cancel the tunnel's constant dispatch+readback cost."""
+
     def chain(k):
-        cur = pair
+        cur = arg
         for _ in range(k):
             cur = fn(cur)
-        return int(np.asarray(cur[0][0, 0]))
+        return int(np.asarray(cur[0].reshape(-1)[0]))
 
     chain(1)  # warmup/compile
 
-    def timed(k, reps=3):
+    def timed(k):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -51,26 +67,183 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_short = timed(1)
-    t_long = timed(9)
-    dt = (t_long - t_short) / 8
+    return (timed(k_long) - timed(k_short)) / (k_long - k_short)
 
-    points_per_s = n * cols / dt
 
-    roofline_time = 32.0 * n * bits / HBM_BYTES_PER_S
-    roofline_pps = n / roofline_time
-    vs_baseline = points_per_s / (0.70 * roofline_pps)
+def _ntt_passes(bits: int, base_bits: int) -> int:
+    """HBM sweeps of the four-step recursion: each recursion level reads and
+    writes the full array once for its base transforms and once for the
+    twiddle+transpose relayout (the top level's transpose pairs fuse)."""
+    levels = 1
+    b = bits
+    while b > base_bits:
+        b = b - base_bits if b <= 2 * base_bits else b // 2
+        levels += 1
+    return 2 * levels - 1
 
-    print(
-        json.dumps(
-            {
-                "metric": f"goldilocks_ntt_2^{bits}_points_per_s",
-                "value": round(points_per_s),
-                "unit": "points/s/chip",
-                "vs_baseline": round(vs_baseline, 4),
-            }
-        )
+
+def bench_ntt():
+    import jax  # noqa: F401
+    from pil2_stark_tpu.field import jax_gl as gl
+    from pil2_stark_tpu.ops import ntt
+
+    bits, cols = 24, 1
+    n = 1 << bits
+    rng = np.random.default_rng(0)
+    pair = gl.from_u64(rng.integers(0, P, size=(n, cols), dtype=np.uint64))
+    dt = _chain_time(ntt._jit_ntt(bits), pair, k_long=5)
+    pps = n * cols / dt
+    passes = _ntt_passes(bits, ntt._BASE_BITS)
+    roofline_pps = HBM_BYTES_PER_S / (passes * 16.0)
+    return _emit(
+        f"goldilocks_ntt_2^{bits}_points_per_s", pps, "points/s/chip",
+        pps / (0.70 * roofline_pps), hbm_passes=passes,
     )
+
+
+def bench_lde():
+    import jax  # noqa: F401
+    from pil2_stark_tpu.field import jax_gl as gl
+    from pil2_stark_tpu.ops import ntt
+
+    bits, ext_bits, cols = 20, 23, 8
+    n, ext_n = 1 << bits, 1 << ext_bits
+    rng = np.random.default_rng(0)
+    pair = gl.from_u64(rng.integers(0, P, size=(n, cols), dtype=np.uint64))
+    fn = ntt._jit_lde(bits, ext_bits, 7)
+    fn(pair)  # warmup
+
+    def timed():
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn(pair)
+            int(np.asarray(out[0][0, 0]))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = timed()
+    pps = ext_n * cols / dt  # extended points produced per second
+    passes = _ntt_passes(bits, ntt._BASE_BITS) + _ntt_passes(
+        ext_bits, ntt._BASE_BITS
+    )
+    # iNTT sweeps cover n rows, NTT sweeps ext_n rows; normalize to ext_n
+    eff_passes = (
+        _ntt_passes(bits, ntt._BASE_BITS) * (n / ext_n)
+        + _ntt_passes(ext_bits, ntt._BASE_BITS)
+    )
+    roofline_pps = HBM_BYTES_PER_S / (eff_passes * 16.0)
+    return _emit(
+        f"goldilocks_lde_2^{bits}x{cols}_to_2^{ext_bits}", pps,
+        "ext points/s/chip", pps / (0.70 * roofline_pps),
+        hbm_passes=passes,
+    )
+
+
+def bench_merkle():
+    import jax
+    from pil2_stark_tpu.field import jax_gl as gl
+    from pil2_stark_tpu.stark import device as dev
+
+    bits, cols = 20, 8
+    n = 1 << bits
+    rng = np.random.default_rng(0)
+    pair = gl.from_u64(rng.integers(0, P, size=(n, cols), dtype=np.uint64))
+
+    def build():
+        t = dev.merkelize(pair, cols, n)
+        jax.block_until_ready(t.levels[-1])
+        return t
+
+    build()  # warmup/compile
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        build()
+        best = min(best, time.perf_counter() - t0)
+    leaves_per_s = n / best
+    # minimum traffic: read elements once + write+read each digest level
+    bytes_moved = n * cols * 8 + 3 * sum(
+        (n >> k) * 32 for k in range(bits + 1)
+    )
+    roofline_s = bytes_moved / HBM_BYTES_PER_S
+    return _emit(
+        f"poseidon_merkle_2^{bits}x{cols}_leaves_per_s", leaves_per_s,
+        "leaves/s/chip", best and (roofline_s / best) / 0.70,
+        note="HBM-bound upper model; Poseidon is VPU-compute-bound",
+    )
+
+
+def bench_prove():
+    import jax  # noqa: F401
+    from pil2_stark_tpu.compiler import pil1_parser
+    from pil2_stark_tpu.models import fibonacci
+    from pil2_stark_tpu.stark import witness, setup as stark_setup, prover, verifier
+
+    n_bits = 20
+    n = 1 << n_bits
+    pil = pil1_parser.compile_pil_source(fibonacci.pil_source(n_bits))
+    pil["name"] = "Fibonacci"
+    const_cols = witness.generate_fixed_cols(pil["references"], n)
+    fibonacci.build_constants(n, const_cols.Fibonacci)
+    cm_cols = witness.generate_wtns_cols(pil["references"], n)
+    out = fibonacci.execute(n, cm_cols.Fibonacci, [1, 2])
+    publics = [1, 2, out]
+    ss = {
+        "nBits": n_bits,
+        "nBitsExt": n_bits + 1,
+        "nQueries": 32,
+        "verificationHashType": "GL",
+        "steps": [{"nBits": b} for b in range(n_bits + 1, 6, -4)],
+    }
+    s = stark_setup.stark_setup(const_cols.buffer, pil, ss)
+
+    t0 = time.perf_counter()
+    res = prover.prove(
+        s["starkInfo"], s["expressionsInfo"], const_cols.buffer,
+        s["constTree"], (cm_cols.buffer, publics), backend="device",
+    )
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = prover.prove(
+        s["starkInfo"], s["expressionsInfo"], const_cols.buffer,
+        s["constTree"], (cm_cols.buffer, publics), backend="device",
+    )
+    warm = time.perf_counter() - t0
+    ok = verifier.verify(
+        res["proof"], res["publics"], s["constRoot"], s["starkInfo"],
+        s["verifierInfo"],
+    )
+    assert ok, "proof failed to verify"
+
+    phases = res.get("timings", {})
+    # component roofline: LDE+tree sweeps for each stage at ext_n rows
+    ext_n = 1 << (n_bits + 1)
+    w_total = sum(
+        s["starkInfo"]["mapSectionsN"][f"cm{i+1}"]
+        for i in range(s["starkInfo"]["nStages"] + 1)
+    ) + s["starkInfo"]["nConstants"]
+    bytes_min = 6 * ext_n * w_total * 8  # LDE in+out + hash read (×2 planes)
+    roofline_s = bytes_min / HBM_BYTES_PER_S
+    return _emit(
+        f"stark_prove_fibonacci_2^{n_bits}_wall_s", warm, "s (warm)",
+        roofline_s / warm / 0.70,
+        cold_s=round(cold, 3), verified=bool(ok),
+        phases={k: round(v, 3) for k, v in sorted(phases.items(), key=lambda kv: -kv[1])[:6]},
+    )
+
+
+def main():
+    results = []
+    for fn in (bench_merkle, bench_lde, bench_prove, bench_ntt):
+        try:
+            results.append(fn())
+        except Exception as e:  # keep the headline metric printable
+            print(json.dumps({"metric": fn.__name__, "error": str(e)[:300]}), flush=True)
+    # headline (last line, parsed by the driver): the NTT metric
+    if results and results[-1]["metric"].startswith("goldilocks_ntt"):
+        print(json.dumps(results[-1]), flush=True)
 
 
 if __name__ == "__main__":

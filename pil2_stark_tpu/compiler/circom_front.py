@@ -26,11 +26,32 @@ the full operator set over F_p with circom semantics (`\\` int division,
 """
 from __future__ import annotations
 
+import contextlib
 import re
 
 from ..field import gl64
 
+# Active circuit field.  The GL tier compiles over the Goldilocks prime
+# (circom -p goldilocks); the BN128 recursion tier over the BN254 scalar
+# field — swapped for the duration of a compile via `field_prime`.
 P = gl64.P_INT
+
+BN254_FR = (
+    21888242871839275222246405745257275088548364400416034343698204186575808495617
+)
+
+
+@contextlib.contextmanager
+def field_prime(p: int):
+    """Run a compile+witness under a different circuit prime (process-wide,
+    like circom's -p flag; compiles are synchronous so this nests safely)."""
+    global P
+    old = P
+    P = p
+    try:
+        yield
+    finally:
+        P = old
 
 
 # ---------------------------------------------------------------------------
@@ -1232,6 +1253,7 @@ class CompiledCircuit:
     the full witness for exec."""
 
     def __init__(self, interp: Interp):
+        self.prime = P
         self.n_vars = interp.n_signals
         self.n_outputs = interp.n_outputs
         self.n_pub_inputs = interp.n_pub_inputs
@@ -1252,22 +1274,25 @@ class CompiledCircuit:
     def check(self):
         """Verify every R1CS row against the witness."""
         w = self.witness
+        q = self.prime
         for a, b, c in self.constraints:
-            av = sum(w[s] * k for s, k in a.items()) % P
-            bv = sum(w[s] * k for s, k in b.items()) % P
-            cv = sum(w[s] * k for s, k in c.items()) % P
-            if (av * bv + cv) % P != 0:
+            av = sum(w[s] * k for s, k in a.items()) % q
+            bv = sum(w[s] * k for s, k in b.items()) % q
+            cv = sum(w[s] * k for s, k in c.items()) % q
+            if (av * bv + cv) % q != 0:
                 return False
         return True
 
 
-def compile_and_witness(files: dict, entry: str, inputs: dict) -> CompiledCircuit:
+def compile_and_witness(files: dict, entry: str, inputs: dict, prime: int | None = None) -> CompiledCircuit:
     """Parse the circuit file set, elaborate `entry`'s main component with
     `inputs` (zkin-shaped dict of ints / nested lists), return the
-    compiled circuit + witness."""
-    items = parse_sources(files, entry)
-    if items["main"] is None:
-        raise ValueError("no main component")
-    interp = Interp(items)
-    interp.run_main(inputs)
-    return CompiledCircuit(interp)
+    compiled circuit + witness.  `prime` selects the circuit field
+    (default Goldilocks; pass circom_front.BN254_FR for the BN128 tier)."""
+    with field_prime(prime or gl64.P_INT):
+        items = parse_sources(files, entry)
+        if items["main"] is None:
+            raise ValueError("no main component")
+        interp = Interp(items)
+        interp.run_main(inputs)
+        return CompiledCircuit(interp)

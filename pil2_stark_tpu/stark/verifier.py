@@ -219,8 +219,10 @@ def calculate_transcript(stark_info, proof, publics, const_root, mh=None):
         mh = build_mh(stark_info["starkStruct"])
     transcript = mh.new_transcript()
     challenges = []
+    # GL trees absorb 4-element roots; BN128 trees absorb one Fr scalar
+    gl_root = stark_info["starkStruct"].get("verificationHashType", "GL") == "GL"
 
-    _put_root(transcript, const_root)
+    _put_root(transcript, const_root, gl_root)
     if not stark_info["starkStruct"].get("hashCommits"):
         for p in publics:
             transcript.put(int(p))
@@ -231,11 +233,11 @@ def calculate_transcript(stark_info, proof, publics, const_root, mh=None):
         stage = i + 1
         n_ch = sum(1 for c in stark_info["challengesMap"] if c["stage"] == stage)
         challenges.append([transcript.get_field() for _ in range(n_ch)])
-        _put_root(transcript, proof[f"root{stage}"])
+        _put_root(transcript, proof[f"root{stage}"], gl_root)
 
     q_step = stark_info["nStages"]
     challenges.append([transcript.get_field()])
-    _put_root(transcript, proof[f"root{q_step + 1}"])
+    _put_root(transcript, proof[f"root{q_step + 1}"], gl_root)
 
     challenges.append([transcript.get_field()])  # xi
 
@@ -252,7 +254,7 @@ def calculate_transcript(stark_info, proof, publics, const_root, mh=None):
     for step in range(len(steps)):
         challenges_fri_steps.append(transcript.get_field())
         if step < len(steps) - 1:
-            _put_root(transcript, proof["fri"][step + 1]["root"])
+            _put_root(transcript, proof["fri"][step + 1]["root"], gl_root)
         else:
             last = proof["fri"][-1]
             if not stark_info["starkStruct"].get("hashCommits"):
@@ -274,14 +276,14 @@ def calculate_fri_queries(stark_info, challenge, mh=None):
     return t.get_permutations(ss["nQueries"], ss["steps"][0]["nBits"])
 
 
-def _put_root(transcript, root):
-    """Absorb a Merkle root: 4 GL elements (GL trees) or one Fr (BN128)."""
-    if isinstance(root, (int, np.integer)) or (
-        isinstance(root, str) and root.isdigit()
-    ):
-        transcript.put(int(root))
-    else:
+def _put_root(transcript, root, gl_root):
+    """Absorb a Merkle root, dispatched by the starkStruct's tree type:
+    4 GL elements (GL trees) or one Fr scalar (BN128 trees) — no value
+    sniffing (a BN128 root may arrive as an int or a decimal JSON string)."""
+    if gl_root:
         transcript.put([int(x) for x in root])
+    else:
+        transcript.put(int(root))
 
 
 def _hash_list(values, mh):

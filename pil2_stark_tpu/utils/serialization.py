@@ -96,18 +96,35 @@ def write_const_file(path: str, const_n: np.ndarray, const_ext: np.ndarray | Non
             const_ext.astype("<u8").tofile(f)
 
 
+def _read_pols(f, rows: int, cols: int, path: str, what: str) -> np.ndarray:
+    arr = np.fromfile(f, dtype="<u8", count=rows * cols)
+    if arr.size != rows * cols:
+        raise ValueError(
+            f"truncated consts file {path!r}: {what} has {arr.size} of "
+            f"{rows * cols} expected u64 values"
+        )
+    return arr.reshape(rows, cols)
+
+
 def read_const_file(path: str):
     with open(path, "rb") as f:
-        assert f.read(4) == MAGIC, "bad consts file"
+        if f.read(4) != MAGIC:
+            raise ValueError(f"not a consts file (bad magic): {path!r}")
         hlen = int.from_bytes(f.read(4), "little")
-        header = json.loads(f.read(hlen))
-        n = 1 << header["nBits"]
-        nc = header["nConstants"]
-        const_n = np.fromfile(f, dtype="<u8", count=n * nc).reshape(n, nc)
+        raw = f.read(hlen)
+        if len(raw) != hlen:
+            raise ValueError(f"truncated consts file header: {path!r}")
+        try:
+            header = json.loads(raw)
+            n = 1 << header["nBits"]
+            nc = header["nConstants"]
+        except (ValueError, KeyError, TypeError) as e:
+            raise ValueError(f"malformed consts file header: {path!r}") from e
+        const_n = _read_pols(f, n, nc, path, "base domain")
         const_ext = None
         if header["hasExt"]:
             ext_n = 1 << header["nBitsExt"]
-            const_ext = np.fromfile(f, dtype="<u8", count=ext_n * nc).reshape(ext_n, nc)
+            const_ext = _read_pols(f, ext_n, nc, path, "extended domain")
     return header, const_n.astype(np.uint64), (
         const_ext.astype(np.uint64) if const_ext is not None else None
     )

@@ -66,3 +66,31 @@ def test_const_file_roundtrip(proven, tmp_path):
     np.testing.assert_array_equal(const_n, const_buffer)
     assert const_ext is None
     assert header["nConstants"] == const_buffer.shape[1]
+
+
+def test_const_file_error_handling(tmp_path):
+    """Malformed / truncated containers fail loudly with context (VERDICT r1
+    cleanup item), never with a cryptic reshape error."""
+    import numpy as np
+    import pytest
+
+    from pil2_stark_tpu.utils import serialization as ser
+
+    good = tmp_path / "good.const"
+    const_n = np.arange(8 * 2, dtype=np.uint64).reshape(8, 2)
+    ser.write_const_file(str(good), const_n)
+
+    bad_magic = tmp_path / "bad_magic.const"
+    bad_magic.write_bytes(b"XXXX" + good.read_bytes()[4:])
+    with pytest.raises(ValueError, match="bad magic"):
+        ser.read_const_file(str(bad_magic))
+
+    truncated = tmp_path / "trunc.const"
+    truncated.write_bytes(good.read_bytes()[:-16])
+    with pytest.raises(ValueError, match="truncated"):
+        ser.read_const_file(str(truncated))
+
+    hdr_trunc = tmp_path / "hdr.const"
+    hdr_trunc.write_bytes(good.read_bytes()[:6])
+    with pytest.raises(ValueError, match="truncated"):
+        ser.read_const_file(str(hdr_trunc))
