@@ -946,7 +946,11 @@ def pil2circom(const_root, stark_info, verifier_info, options=None, index=0):
     options = options or {}
     ss = stark_info["starkStruct"]
     if ss.get("verificationHashType", "GL") != "GL":
-        raise NotImplementedError("BN128 verifier circuit: see circom_bn128")
+        from .pil2circom_bn128 import pil2circom_bn128
+
+        return pil2circom_bn128(
+            const_root, stark_info, verifier_info, options, index
+        )
 
     parts = [
         "pragma circom 2.1.0;",

@@ -14,6 +14,16 @@ def _vals(v):
     return int(v)
 
 
+def _root(v):
+    """GL roots are 4-element arrays; BN128 roots a single Fr scalar."""
+    if isinstance(v, int):
+        return int(v)
+    try:
+        return _vals(list(v))
+    except TypeError:
+        return int(v)
+
+
 def proof2zkin(p: dict, stark_info: dict) -> dict:
     fri_steps = stark_info["starkStruct"]["steps"]
     n_queries = stark_info["starkStruct"]["nQueries"]
@@ -22,15 +32,15 @@ def proof2zkin(p: dict, stark_info: dict) -> dict:
     q_stage = n_stages + 1
 
     zkin = {}
-    zkin["root1"] = _vals(list(p["root1"]))
+    zkin["root1"] = _root(p["root1"])
     for i in range(n_stages - 1):
         stage = i + 2
-        zkin[f"root{stage}"] = _vals(list(p[f"root{stage}"]))
-    zkin[f"root{q_stage}"] = _vals(list(p[f"root{q_stage}"]))
+        zkin[f"root{stage}"] = _root(p[f"root{stage}"])
+    zkin[f"root{q_stage}"] = _root(p[f"root{q_stage}"])
     zkin["evals"] = _vals([list(e) for e in p["evals"]])
 
     for i in range(1, len(fri_steps)):
-        zkin[f"s{i}_root"] = _vals(list(p["fri"][i]["root"]))
+        zkin[f"s{i}_root"] = _root(p["fri"][i]["root"])
         zkin[f"s{i}_vals"] = []
         zkin[f"s{i}_siblings"] = []
         for q in range(n_queries):
