@@ -102,11 +102,11 @@ def _rev_perm(bits: int):
 # final 1/n scale — mathematically identical to the reference's
 # "forward + index reversal" iNTT (fft.js:165-174), hence bit-exact.
 
-# Base-case size for the four-step recursion.  2^11 keeps the whole base
-# transform's working set VMEM-resident on v5e: measured 1.28e9 points/s at
-# 2^22 vs 7.2e8 with a 2^6 base (the extra recursion levels cost two more
-# HBM-roundtrip transposes).
-_BASE_BITS = 11
+# Base-case size for the four-step recursion.  Measured on v5e (points/s,
+# cols=1): base 2^12 gives 1.40e9 @ 2^22 and 0.59e9 @ 2^24 — the best of
+# {11, 12, 13} at both sizes, because 2^24 = (12, 12) stays a single
+# recursion level (base 2^11 forces a (2,11)-sub-split and a 30% hit).
+_BASE_BITS = 12
 
 
 def _pair_np(arr: np.ndarray):
@@ -129,7 +129,7 @@ def _base_consts(bits: int, inverse: bool):
 
 @functools.lru_cache(maxsize=None)
 def _twiddle_consts(bits: int, bits1: int, inverse: bool):
-    """w_±N^{o1·i2} as (n1, n2) u32 limb pair."""
+    """w_±N^{o1·i2} as (n1, n2) u32 limb pair (host numpy)."""
     n1 = 1 << bits1
     n2 = 1 << (bits - bits1)
     w = gl64.w_inv(bits) if inverse else gl64.w(bits)
@@ -139,6 +139,38 @@ def _twiddle_consts(bits: int, bits1: int, inverse: bool):
     for o1 in range(1, n1):
         t[o1] = gl64.mul(t[o1 - 1], row)
     return _pair_np(t)
+
+
+# Above this size a level's (n1, n2) twiddle table is passed to the jitted
+# program as a runtime argument instead of an embedded constant: a 2^24
+# transform otherwise bakes a 128 MB literal into the HLO (slow compiles,
+# and remote-compile transports reject the module).
+_TWIDDLE_ARG_BITS = 18
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle_dev(bits: int, bits1: int, inverse: bool):
+    """Device-resident twiddle pair for argument-passing levels."""
+    lo, hi = _twiddle_consts(bits, bits1, inverse)
+    return (jnp.asarray(lo), jnp.asarray(hi))
+
+
+def _split_bits(bits: int) -> int:
+    """Four-step factor split (keep one factor at the VMEM base size)."""
+    if bits <= 2 * _BASE_BITS:
+        return bits - _BASE_BITS
+    return bits // 2
+
+
+def _twiddle_schedule(bits: int):
+    """(bits_total, bits1) pairs of every recursion level that passes its
+    twiddle table as a runtime argument, in consumption order."""
+    if bits <= _BASE_BITS:
+        return []
+    bits1 = _split_bits(bits)
+    bits2 = bits - bits1
+    mine = [(bits, bits1)] if bits > _TWIDDLE_ARG_BITS else []
+    return mine + _twiddle_schedule(bits1) + _twiddle_schedule(bits2)
 
 
 def _axis0_base(x, bits: int, inverse: bool):
@@ -165,72 +197,105 @@ def _axis0_base(x, bits: int, inverse: bool):
     return (lo.reshape(n, b), hi.reshape(n, b))
 
 
-def _axis0_ntt(x, bits: int, inverse: bool):
-    """NTT along axis 0 of (n, B) limb arrays, natural order in/out."""
+def _axis0_ntt(x, bits: int, inverse: bool, tw_iter=None):
+    """NTT along axis 0 of (n, B) limb arrays, natural order in/out.
+
+    tw_iter: iterator over the argument-passed twiddle pairs for levels
+    above _TWIDDLE_ARG_BITS (in _twiddle_schedule order); small levels embed
+    their tables as trace constants."""
     if bits <= _BASE_BITS:
         return _axis0_base(x, bits, inverse)
     # Keep one factor at the VMEM-resident base size whenever possible:
     # 2^24 splits (13, 11) -> ((2, 11), 11), not (12, 12) -> (6, 6)... —
     # the latter loses the 2^11 base and pays two extra HBM-roundtrip
     # transposes per level.
-    if bits <= 2 * _BASE_BITS:
-        bits1 = bits - _BASE_BITS
-    else:
-        bits1 = bits // 2
+    bits1 = _split_bits(bits)
     bits2 = bits - bits1
     n1, n2 = 1 << bits1, 1 << bits2
     b = x[0].shape[1]
 
+    if bits > _TWIDDLE_ARG_BITS and tw_iter is not None:
+        tlo, thi = next(tw_iter)
+    else:
+        tlo, thi = _twiddle_consts(bits, bits1, inverse)
+
     # step 1: transform i1 (axis 0 of (n1, n2·B))
-    y = _axis0_ntt((x[0].reshape(n1, n2 * b), x[1].reshape(n1, n2 * b)), bits1, inverse)
+    y = _axis0_ntt(
+        (x[0].reshape(n1, n2 * b), x[1].reshape(n1, n2 * b)), bits1, inverse,
+        tw_iter,
+    )
     ylo = y[0].reshape(n1, n2, b)
     yhi = y[1].reshape(n1, n2, b)
     # twiddle w^{o1·i2}
-    tlo, thi = _twiddle_consts(bits, bits1, inverse)
     ylo, yhi = gl.mul((ylo, yhi), (tlo[:, :, None], thi[:, :, None]))
     # transpose (n1, n2, B) -> (n2, n1, B)
     ylo = jnp.swapaxes(ylo, 0, 1)
     yhi = jnp.swapaxes(yhi, 0, 1)
     # step 2: transform i2
     z = _axis0_ntt(
-        (ylo.reshape(n2, n1 * b), yhi.reshape(n2, n1 * b)), bits2, inverse
+        (ylo.reshape(n2, n1 * b), yhi.reshape(n2, n1 * b)), bits2, inverse,
+        tw_iter,
     )
     # output flat index o2·n1 + o1 == current layout flattened
     return (z[0].reshape(1 << bits, b), z[1].reshape(1 << bits, b))
 
 
+def _tw_args(bits: int, inverse: bool):
+    return tuple(
+        _twiddle_dev(b, b1, inverse) for (b, b1) in _twiddle_schedule(bits)
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _jit_ntt(bits: int):
-    return jax.jit(lambda x: _axis0_ntt(x, bits, False))
+    fwd_tw = _tw_args(bits, False)
+
+    def body(x, tws):
+        return _axis0_ntt(x, bits, False, iter(tws))
+
+    fn = jax.jit(body)
+    return lambda x: fn(x, fwd_tw)
 
 
 @functools.lru_cache(maxsize=None)
 def _jit_intt(bits: int):
     n = 1 << bits
     n_inv = pow(n, gl64.P_INT - 2, gl64.P_INT)
+    inv_tw = _tw_args(bits, True)
 
-    def body(x):
-        y = _axis0_ntt(x, bits, True)
+    def body(x, tws):
+        y = _axis0_ntt(x, bits, True, iter(tws))
         return gl.mul_const(y, n_inv)
 
-    return jax.jit(body)
+    fn = jax.jit(body)
+    return lambda x: fn(x, inv_tw)
 
 
 @functools.lru_cache(maxsize=None)
 def _jit_lde(bits: int, ext_bits: int, shift: int):
     n = 1 << bits
     n_inv = pow(n, gl64.P_INT - 2, gl64.P_INT)
-    # fold n_inv into the coset-shift scaling
-    shift_pows = _pair_np(gl64.mul(gl64.powers(shift, n), np.uint64(n_inv)))
+    # fold n_inv into the coset-shift scaling; big enough tables ride as
+    # runtime args (device-resident), not trace constants
+    shift_pows = gl64.mul(gl64.powers(shift, n), np.uint64(n_inv))
+    sp_small = bits <= _TWIDDLE_ARG_BITS
+    sp_const = _pair_np(shift_pows) if sp_small else None
+    sp_dev = None if sp_small else tuple(
+        jnp.asarray(a) for a in _pair_np(shift_pows)
+    )
+    inv_tw = _tw_args(bits, True)
+    fwd_tw = _tw_args(ext_bits, False)
 
-    def body(x):
-        coefs = _axis0_ntt(x, bits, True)
-        coefs = gl.mul((shift_pows[0][:, None], shift_pows[1][:, None]), coefs)
+    def body(x, tws_i, tws_f, sp):
+        coefs = _axis0_ntt(x, bits, True, iter(tws_i))
+        s = sp_const if sp_small else sp
+        coefs = gl.mul((s[0][:, None], s[1][:, None]), coefs)
         pad = ((0, (1 << ext_bits) - n), (0, 0))
         padded = (jnp.pad(coefs[0], pad), jnp.pad(coefs[1], pad))
-        return _axis0_ntt(padded, ext_bits, False)
+        return _axis0_ntt(padded, ext_bits, False, iter(tws_f))
 
-    return jax.jit(body)
+    fn = jax.jit(body)
+    return lambda x: fn(x, inv_tw, fwd_tw, sp_dev)
 
 
 # ---------------------------------------------------------------------------

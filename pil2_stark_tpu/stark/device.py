@@ -236,16 +236,34 @@ class DeviceTree:
 
 def merkelize(elements, width: int, height: int, split: bool = False) -> DeviceTree:
     """elements: (lo, hi) pair (height, width) on device."""
-    if width == 0:
-        # degenerate tree over empty rows — hash zero-width rows host-side
+    if width == 0 and height & (height - 1) == 0:
+        # degenerate tree over empty rows at power-of-two height: every
+        # node of a level is the SAME digest (leaf digest = zero row, no
+        # odd-padding breaks uniformity), so one pair-hash per level
+        # suffices — broadcast copies give the full levels bit-exactly
+        # (round-1 built these on the host: 2^21 Poseidons for a constant)
+        from ..hash import poseidon_gl
+
         z = np.zeros((height, 0), dtype=np.uint64)
+        digest = np.zeros(4, dtype=np.uint64)
+        levels = []
+        n = height
+        while n > 1:
+            pair = gl.from_u64(np.broadcast_to(digest, (n, 4)).copy())
+            levels.append(pair)
+            digest = poseidon_gl.hash_n(np.concatenate([digest, digest]))
+            n //= 2
+        levels.append(gl.from_u64(digest.reshape(1, 4)))
+        return DeviceTree(
+            width=0, height=height, elements=gl.from_u64(z), levels=levels
+        )
+    if width == 0:
         from ..hash import merkle as merkle_host
 
+        z = np.zeros((height, 0), dtype=np.uint64)
         t = merkle_host.merkelize(z, 0, height, split_linear_hash=split, backend="np")
         return DeviceTree(
-            width=0,
-            height=height,
-            elements=gl.from_u64(z),
+            width=0, height=height, elements=gl.from_u64(z),
             levels=[gl.from_u64(l) for l in t.levels],
         )
     levels = jax_poseidon.merkle_levels(elements, width, height, split)
