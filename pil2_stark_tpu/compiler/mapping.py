@@ -13,6 +13,27 @@ def map_info(res, symbols, expressions, constraints, options=None):
     res["nCommitmentsStage1"] = sum(
         1 for p in res["cmPolsMap"] if p and p["stage"] == 1 and not p.get("imPol")
     )
+    _dedupe_names(res["cmPolsMap"])
+    _dedupe_names(res["constPolsMap"])
+
+
+def _dedupe_names(pols_map):
+    """Intermediate polynomials are all created as `<Name>.ImPol`
+    (imPolynomials.js:46 does the same).  The STARK side addresses columns
+    by id so collisions are harmless there, but the fflonk tier keys its
+    coefficient store and proof evaluations by NAME (fflonk_shkey.js:117,
+    fflonk_prover_helpers.js) — make names unique here, once, so every
+    downstream consumer agrees."""
+    seen = {}
+    for p in pols_map:
+        if not p:
+            continue
+        n = p["name"]
+        if n in seen:
+            seen[n] += 1
+            p["name"] = f"{n}_{seen[n]}"
+        else:
+            seen[n] = 0
 
 
 def _set_map(lst, idx, value):

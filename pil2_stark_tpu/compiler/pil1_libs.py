@@ -16,12 +16,19 @@ from .prepare_util import get_exp_dim_lazy
 P = 0xFFFFFFFF00000001
 K_GEN = 12275445934081160404  # F.k = 7^(2^32), f3g.js:26
 
+# ffjavascript F1Field sets F.k = nqr^(2^s); for BN254-Fr nqr=5, s=28 —
+# the same construction GL uses (7^(2^32) above).  Needed by the final
+# tier, whose connection argument runs over Fr (final9_setup.js getKs).
+FR_P = 21888242871839275222246405745257275088548364400416034343698204186575808495617
+FR_K_GEN = pow(5, 2**28, FR_P)
 
-def get_ks(n: int):
+
+def get_ks(n: int, field: str = "gl"):
     """pilcom getKs: successive powers of F.k (coset labels for connection)."""
-    ks = [K_GEN]
+    k, p = (K_GEN, P) if field == "gl" else (FR_K_GEN, FR_P)
+    ks = [k]
     for _ in range(1, n):
-        ks.append((ks[-1] * K_GEN) % P)
+        ks.append((ks[-1] * k) % p)
     return ks
 
 
@@ -75,7 +82,10 @@ def generate_pil1_polynomials(res, pil, stark, options):
                 }
             )
 
-    generate_libs_polynomials(res, pil, symbols, hints, stark, first_possible_stage)
+    generate_libs_polynomials(
+        res, pil, symbols, hints, stark, first_possible_stage,
+        field=options.get("field", "gl"),
+    )
 
     res["nCommitments"] = pil["nCommitments"]
     res["pilPower"] = _log2(next(iter(pil["references"].values()))["polDeg"])
@@ -97,7 +107,8 @@ def generate_pil1_polynomials(res, pil, stark, options):
     }
 
 
-def generate_libs_polynomials(res, pil, symbols, hints, stark, first_possible_stage):
+def generate_libs_polynomials(res, pil, symbols, hints, stark,
+                              first_possible_stage, field="gl"):
     """generateLibsPolynomials.js:6-44 + challenge id assignment :46-59."""
     pil["nCm2"] = 0
     pil["nCm3"] = 0
@@ -134,7 +145,8 @@ def generate_libs_polynomials(res, pil, symbols, hints, stark, first_possible_st
         stage = 2 if first_possible_stage else 3
         libs.append(
             lambda: grand_product_connection(
-                pil, symbols, hints, res, stark, first_possible_stage
+                pil, symbols, hints, res, stark, first_possible_stage,
+                field=field,
             )
         )
         _merge_challenges(
@@ -400,7 +412,8 @@ def grand_product_permutation(pil, symbols, hints, res, stark, first_possible_st
         )
 
 
-def grand_product_connection(pil, symbols, hints, res, stark, first_possible_stage):
+def grand_product_connection(pil, symbols, hints, res, stark,
+                             first_possible_stage, field: str = "gl"):
     """grandProductConnection.js:22-160 (PlonK-style copy constraints)."""
     stage = 2 if first_possible_stage else 3
     dim = 3 if stark else 1
@@ -425,7 +438,7 @@ def grand_product_connection(pil, symbols, hints, res, stark, first_possible_sta
         num_id, _ = _push_exp(pil, num_exp, stage, stark)
         den_id, _ = _push_exp(pil, den_exp, stage, stark)
 
-        ks = get_ks(len(ci["pols"]) - 1)
+        ks = get_ks(len(ci["pols"]) - 1, field=field)
         for j in range(1, len(ci["pols"])):
             num_exp = east.mul(
                 east.exp(num_id, 0, stage),
