@@ -147,3 +147,48 @@ def test_zk_blinding_changes_proof_not_outcome(fib_fr):
     assert fflonk_verify(
         vk, info["pilInfo"], info["verifierInfo"], res2["proof"], res2["publics"],
     ) is True
+
+
+# ---------------------------------------------------------------------------
+# search optimizer (search_optimizer.js): parameter selection by
+# measured MSM:FFT cost ratio
+
+
+def test_search_optimizer_cost_table():
+    from pil2_stark_tpu.fflonk import search_optimizer as so
+
+    table = so.fflonk_cost_table(3, 10, 6, 4, 10, 100.0)
+    assert [d["degP"] for d in table] == list(range(3, 11))
+    # blowup = floor(log2(degP - 2)) + 2 (search_optimizer.js:42)
+    assert [d["blowup"] for d in table] == [2, 3, 3, 4, 4, 4, 4, 5]
+    for d in table:
+        assert d["cost"] == d["msm"] * 100.0 + d["fft"]
+        assert d["degZ"] == d["degP"] - 1
+
+
+def test_search_optimizer_picks_minimum_and_respects_ptau_ceiling():
+    from pil2_stark_tpu.fflonk import search_optimizer as so
+
+    # high ratio -> MSM dominates -> smallest msm count wins
+    best = so.exhaustive_search_optimizer(6, n_intermediate=4, n_p=10,
+                                          ratio=1e9)
+    assert best["degP"] == 3
+    # low ratio -> FFT dominates -> smallest blowup wins too (fft grows
+    # with blowup); with zero intermediates cost ties break by order
+    best = so.exhaustive_search_optimizer(6, n_intermediate=0, n_p=1,
+                                          ratio=0.0)
+    assert best["blowup"] == 2
+    # infeasible: power beyond every ptau ceiling
+    with pytest.raises(ValueError, match="feasible"):
+        so.exhaustive_search_optimizer(28, n_intermediate=0, n_p=1, ratio=1.0)
+
+
+def test_search_optimizer_measured_ratio():
+    from pil2_stark_tpu.fflonk import search_optimizer as so
+
+    ptau = dev_ptau(64, tau=5)
+    ratio = so.ratio_msm_to_fft(ptau, 6, iterations=1)
+    assert ratio > 0
+    best = so.exhaustive_search_optimizer(6, n_intermediate=2, n_p=4,
+                                          ptau=ptau, iterations=1)
+    assert 3 <= best["degP"] <= 10
