@@ -88,7 +88,10 @@ def fflonk_verify(vk, fflonk_info, verifier_info, proof, publics, logger=None):
     # check equality explicitly)
     for key, cm in vk.get("constCommits", {}).items():
         fkey = "f" + key.split("_")[0][1:]
-        if polynomials.get(fkey) != cm:
+        pt = polynomials.get(fkey)
+        # tuple/list agnostic: points may have crossed a JSON round-trip
+        if (None if pt is None else tuple(pt)) != \
+                (None if cm is None else tuple(cm)):
             warn(f"proof const commitment {fkey} differs from vk")
             return False
 
