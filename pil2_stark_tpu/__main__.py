@@ -19,7 +19,7 @@ compressor/main_compressor_exec.js, final/main_final_setup.js,
 final/main_final_exec.js):
 
   pil2circom       starkinfo + verkey → verifier circuit files
-  compressor-setup circuit + zkin → C12 pil/const/exec/witness artifacts
+  compressor-setup circuit + zkin → C12/C18 pil/const/exec/witness artifacts
   compressor-exec  exec + witness → committed-polynomial buffer
   final-setup      circuit + inputs → final6/9/fflonk artifacts over Fr
   final-exec       exec + witness → Fr committed-polynomial buffer
@@ -213,6 +213,28 @@ def cmd_pilverify(args):
     from .stark import witness, prover
     from .models import fibonacci
     from .compiler import pil1_parser
+
+    if args.pil_json and args.const and args.commit:
+        # file-based path (main_pilverifier.js): debug-check any machine,
+        # e.g. compressor-setup/-exec output in the recursion chain
+        from .utils import serialization
+
+        pil = serialization.load_json(args.pil_json)
+        const_buffer = np.load(args.const)
+        cm_buffer = np.load(args.commit)
+        publics = [int(x) for x in serialization.load_json(args.publics)] \
+            if args.publics else []
+        info = pil_info(pil, True, {}, {"debug": True})
+        errors = prover.prove(
+            info["pilInfo"], info["expressionsInfo"], const_buffer, None,
+            (cm_buffer, publics), debug=True,
+        )
+        if errors:
+            for e in errors:
+                print(e)
+            sys.exit(1)
+        print("PIL OK!")
+        return
 
     if args.model != "fibonacci":
         raise SystemExit("--model fibonacci supported")
@@ -410,7 +432,7 @@ def _compressor_like_setup(args, setup_fn, exec_mod, fr: bool):
     )
     serialization.dump_json(
         {"nBits": s["nBits"], "nPublics": s["nPublics"],
-         "cols": args.cols if fr else 12}, pfx + ".meta.json"
+         "cols": args.cols}, pfx + ".meta.json"
     )
     ext = ".const.json" if fr else ".const.npy"
     print(f"wrote {pfx}.pil.json, {pfx}{ext}, {pfx}.exec, "
@@ -419,22 +441,25 @@ def _compressor_like_setup(args, setup_fn, exec_mod, fr: bool):
 
 
 def cmd_compressor_setup(args):
-    """compressor/main_compressor_setup.js (C12)."""
-    from .compiler import compressor12
+    """compressor/main_compressor_setup.js (C12 or C18 by --cols)."""
+    from .compiler import compressor12, compressor18
 
-    _compressor_like_setup(args, compressor12.setup, compressor12, fr=False)
+    mod = compressor18 if args.cols == 18 else compressor12
+    _compressor_like_setup(args, mod.setup, compressor12, fr=False)
 
 
 def cmd_compressor_exec(args):
     """compressor/main_compressor_exec.js: exec + witness → committed
     buffer (+ publics)."""
-    from .compiler import compressor12
+    from .compiler import compressor12, compressor18
     from .utils import serialization
 
     meta = serialization.load_json(args.meta)
-    adds, smap = compressor12.read_exec_file(args.exec_file)
+    cols = meta.get("cols", 12)
+    adds, smap = compressor12.read_exec_file(args.exec_file, n_cols=cols)
     wtns = [int(x) for x in serialization.load_json(args.wtns)]
-    cm = compressor12.exec_witness(wtns, adds, smap, meta["nBits"])
+    mod = compressor18 if cols == 18 else compressor12
+    cm = mod.exec_witness(wtns, adds, smap, meta["nBits"])
     np.save(args.commit, cm)
     serialization.dump_json(
         [str(w) for w in wtns[1:1 + meta["nPublics"]]], args.publics
@@ -676,6 +701,10 @@ def main(argv=None):
 
     sp = sub.add_parser("pilverify")
     common(sp)
+    sp.add_argument("--pil-json", dest="pil_json")
+    sp.add_argument("--const")
+    sp.add_argument("--commit")
+    sp.add_argument("--publics")
     sp.set_defaults(fn=cmd_pilverify)
 
     sp = sub.add_parser("pil2circom")
@@ -697,6 +726,9 @@ def main(argv=None):
                             choices=[0, 6, 9])
             sp.add_argument("--ncommitted", type=int,
                             help="finalfflonk (cols=0) committed columns")
+        else:
+            sp.add_argument("--cols", type=int, default=12,
+                            choices=[12, 18])
 
     sp = sub.add_parser("compressor-setup")
     circuit_setup_args(sp, fr=False)
