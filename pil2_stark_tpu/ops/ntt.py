@@ -25,6 +25,17 @@ import jax.numpy as jnp
 
 from ..field import gl64
 from ..field import jax_gl as gl
+from . import pallas_ntt
+
+# Tri-state override for the Pallas base transform: None = auto (use the
+# VMEM-resident kernel on TPU backends, the pure-jnp chain elsewhere).
+_FORCE_PALLAS_BASE: bool | None = None
+
+
+def _pallas_base_enabled() -> bool:
+    if _FORCE_PALLAS_BASE is not None:
+        return _FORCE_PALLAS_BASE
+    return jax.default_backend() == "tpu"
 
 
 def bit_reverse_indices(bits: int) -> np.ndarray:
@@ -175,9 +186,23 @@ def _twiddle_schedule(bits: int):
 
 def _axis0_base(x, bits: int, inverse: bool):
     """Radix-2 DIT along axis 0 of (n, B) limb arrays, n ≤ 2^_BASE_BITS.
-    The bit-reverse take touches ≤ 64 contiguous rows — cheap."""
+    The bit-reverse take touches ≤ 64 contiguous rows — cheap.
+
+    On TPU backends the butterfly network runs as the VMEM-resident Pallas
+    kernel (ops/pallas_ntt.py) — one HBM read/write instead of one per
+    stage; the jnp chain below is the oracle and the fallback for shapes
+    the kernel does not tile."""
     n = 1 << bits
     rev, tables = _base_consts(bits, inverse)
+    b = x[0].shape[1]
+    use_pallas = (
+        pallas_ntt.supported(bits, b) if _FORCE_PALLAS_BASE
+        else _pallas_base_enabled() and pallas_ntt.profitable(bits, b)
+    )
+    if use_pallas:
+        revd = jnp.asarray(rev)
+        xr = (jnp.take(x[0], revd, axis=0), jnp.take(x[1], revd, axis=0))
+        return pallas_ntt.base_ntt_brev(xr, bits, inverse)
     lo = jnp.take(x[0], rev, axis=0)
     hi = jnp.take(x[1], rev, axis=0)
     b = x[0].shape[1]

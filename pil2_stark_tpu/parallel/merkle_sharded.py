@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..hash import jax_poseidon
+from .ntt_sharded import _axes_size, _norm_axes
 
 
 def _levels_to_root(dlo, dhi):
@@ -29,7 +30,7 @@ def _levels_to_root(dlo, dhi):
 
 
 @functools.lru_cache(maxsize=None)
-def make_sharded_merkle_levels(height: int, width: int, mesh: Mesh, axis: str = "x", split: bool = False):
+def make_sharded_merkle_levels(height: int, width: int, mesh: Mesh, axis=None, split: bool = False):
     """Full tree build on a row-sharded (height, width) leaf matrix.
 
     Returns a jitted fn -> list of digest levels, root last.  Levels with
@@ -40,7 +41,8 @@ def make_sharded_merkle_levels(height: int, width: int, mesh: Mesh, axis: str = 
     subtree roots.  Level layout matches hash.merkle.merkelize /
     merklehash_p.js:28-42 (power-of-two heights never trigger the odd-pad
     rule)."""
-    d = mesh.shape[axis]
+    axis = _norm_axes(mesh, axis)
+    d = _axes_size(mesh, axis)
     assert height % d == 0 and (height & (height - 1)) == 0
     local_h = height // d
     n_local_levels = local_h.bit_length() - 1  # levels below subtree roots
@@ -85,11 +87,12 @@ def make_sharded_merkle_levels(height: int, width: int, mesh: Mesh, axis: str = 
 
 
 @functools.lru_cache(maxsize=None)
-def make_sharded_merkle_root(height: int, width: int, mesh: Mesh, axis: str = "x", split: bool = False):
+def make_sharded_merkle_root(height: int, width: int, mesh: Mesh, axis=None, split: bool = False):
     """Returns a jitted fn (lo, hi) (height, width) row-sharded -> root
     (4,) limb pair.  height must be a power of two divisible by the mesh
     axis size."""
-    d = mesh.shape[axis]
+    axis = _norm_axes(mesh, axis)
+    d = _axes_size(mesh, axis)
     assert height % d == 0 and (height & (height - 1)) == 0
 
     def local_fn(lo, hi):

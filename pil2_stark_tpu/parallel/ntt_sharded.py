@@ -74,14 +74,43 @@ def _twiddle_pair(bits_total, n1, n2, inverse=False):
     )
 
 
+def _norm_axes(mesh: Mesh, axis):
+    """None → every mesh axis (a ("dcn", "ici") mesh shards over the full
+    device grid, the all_to_all riding DCN × ICI hierarchically); a string
+    or tuple selects specific axes."""
+    if axis is None:
+        return tuple(mesh.axis_names)
+    return (axis,) if isinstance(axis, str) else tuple(axis)
+
+
+def _axes_size(mesh: Mesh, axes) -> int:
+    out = 1
+    for a in axes:
+        out *= mesh.shape[a]
+    return out
+
+
+def _linear_axis_index(mesh: Mesh, axes):
+    """Flattened device index over the (row-major) axis tuple."""
+    idx = jax.lax.axis_index(axes[0])
+    for a in axes[1:]:
+        idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+    return idx
+
+
 @functools.lru_cache(maxsize=None)
-def make_sharded_ntt(bits: int, n_cols: int, mesh: Mesh, axis: str = "x", inverse: bool = False):
+def make_sharded_ntt(bits: int, n_cols: int, mesh: Mesh, axis=None, inverse: bool = False):
     """Returns a jitted fn over (lo, hi) arrays of shape (N, C) sharded on
     rows, computing the same DFT as ops.ntt.ntt (or, with inverse=True, the
     unscaled inverse transform: running the same network on inverted roots
     — mathematically identical to the reference's forward + index reversal
-    iNTT, fft.js:165-174, hence bit-exact after the 1/n scale)."""
-    d = mesh.shape[axis]
+    iNTT, fft.js:165-174, hence bit-exact after the 1/n scale).
+
+    axis: mesh axis name, tuple of names, or None for all axes — a
+    ("dcn", "ici") multi-host mesh works unchanged (collectives take the
+    axis tuple; device order follows the mesh's row-major layout)."""
+    axis = _norm_axes(mesh, axis)
+    d = _axes_size(mesh, axis)
     n = 1 << bits
     bits1 = bits // 2
     bits2 = bits - bits1
@@ -108,7 +137,7 @@ def make_sharded_ntt(bits: int, n_cols: int, mesh: Mesh, axis: str = "x", invers
         lo = lo2.reshape(n1, n2 // d, c)
         hi = hi2.reshape(n1, n2 // d, c)
         # twiddle w_N^{o1·i2}: i2_global = rank*(n2/d) + local
-        rank = jax.lax.axis_index(axis)
+        rank = _linear_axis_index(mesh, axis)
         tlo = jax.lax.dynamic_slice_in_dim(twiddle[0], rank * (n2 // d), n2 // d, 1)
         thi = jax.lax.dynamic_slice_in_dim(twiddle[1], rank * (n2 // d), n2 // d, 1)
         lo, hi = gl.mul((lo, hi), (tlo[:, :, None], thi[:, :, None]))
@@ -143,7 +172,7 @@ def make_sharded_ntt(bits: int, n_cols: int, mesh: Mesh, axis: str = "x", invers
 
 
 @functools.lru_cache(maxsize=None)
-def make_sharded_lde(bits: int, ext_bits: int, n_cols: int, mesh: Mesh, axis: str = "x", shift: int = 7):
+def make_sharded_lde(bits: int, ext_bits: int, n_cols: int, mesh: Mesh, axis=None, shift: int = 7):
     """Sharded low-degree extension: iNTT(N) → coset scale → zero-pad →
     NTT(extN), matching ops.ntt.lde bit-exactly.
 

@@ -115,8 +115,9 @@ class ProverCtx:
                     import jax
                     from jax.sharding import NamedSharding, PartitionSpec as _P
 
-                    self.row_sharding = NamedSharding(self.mesh, _P("x", None))
-                    rows1d = NamedSharding(self.mesh, _P("x"))
+                    axes = tuple(self.mesh.axis_names)
+                    self.row_sharding = NamedSharding(self.mesh, _P(axes, None))
+                    rows1d = NamedSharding(self.mesh, _P(axes))
 
                     def _put(pair, sharding):
                         return (
@@ -135,7 +136,7 @@ class ProverCtx:
                     # Zi is (nBoundaries, extN): shard the domain axis
                     self.dZi = _put(
                         _jgl.from_u64(self.Zi_ext),
-                        NamedSharding(self.mesh, _P(None, "x")),
+                        NamedSharding(self.mesh, _P(None, axes)),
                     )
                 else:
                     self.row_sharding = None

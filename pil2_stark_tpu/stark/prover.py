@@ -45,7 +45,10 @@ def prove(pil_info, expressions_info, const_pols, const_tree, inputs, debug=Fals
     roots, evals and query gathers.  Proofs are bit-identical to the host
     backends.
 
-    mesh (backend="device" only): a jax.sharding.Mesh with axis "x".  The
+    mesh (backend="device" only): a jax.sharding.Mesh; the commit pipeline
+    shards over ALL of its axes — a 1-axis ("x",) single-host mesh and a
+    2-axis ("dcn", "ici") multi-host mesh (parallel/distributed.py) both
+    work unchanged, collectives riding the hierarchy in mesh order.  The
     commit pipeline is sharded across it — stage LDEs run the four-step
     network with all_to_all transposes (parallel/ntt_sharded), tree builds
     as shard-local subtrees + replicated tops (parallel/merkle_sharded),

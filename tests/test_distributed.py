@@ -1,0 +1,113 @@
+"""Multi-host mesh path: the same sharded kernels and prove() on a
+2-axis ("dcn", "ici") mesh modelling 2 hosts × 4 chips (virtual 8-device
+CPU mesh from conftest.py).  Everything must be bit-equal to the
+single-device oracles — the kernels are axis-agnostic and shard over all
+mesh axes, with cross-host traffic on the outer "dcn" axis.
+"""
+import numpy as np
+import jax
+import pytest
+
+from pil2_stark_tpu.field import jax_gl as gl
+from pil2_stark_tpu.hash import merkle
+from pil2_stark_tpu.ops import ntt as ntt_ops
+from pil2_stark_tpu.parallel import distributed, merkle_sharded, ntt_sharded
+
+P = 0xFFFFFFFF00000001
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    return distributed.proof_mesh(devices=jax.devices()[:8], hosts=2)
+
+
+def test_proof_mesh_shapes(mesh2d):
+    assert mesh2d.axis_names == ("dcn", "ici")
+    assert mesh2d.shape["dcn"] == 2 and mesh2d.shape["ici"] == 4
+    single = distributed.proof_mesh(devices=jax.devices()[:8])
+    assert single.axis_names == ("ici",)
+
+
+def test_init_distributed_single_process_noop():
+    distributed.init_distributed()  # must not raise off-pod
+    assert jax.process_count() == 1
+
+
+def test_sharded_ntt_2d_mesh(mesh2d):
+    bits, cols = 8, 3
+    rng = np.random.default_rng(10)
+    x = rng.integers(0, P, size=(1 << bits, cols), dtype=np.uint64)
+    want = ntt_ops.ntt_u64(x, bits)
+    fn = ntt_sharded.make_sharded_ntt(bits, cols, mesh2d)
+    got = gl.to_u64(fn(*gl.from_u64(x)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_lde_2d_mesh(mesh2d):
+    bits, ext_bits, cols = 6, 8, 2
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, P, size=(1 << bits, cols), dtype=np.uint64)
+    want = ntt_ops.lde_u64(x, bits, ext_bits)
+    fn = ntt_sharded.make_sharded_lde(bits, ext_bits, cols, mesh2d)
+    got = gl.to_u64(fn(*gl.from_u64(x)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_merkle_2d_mesh(mesh2d):
+    height, width = 256, 5
+    rng = np.random.default_rng(12)
+    buff = rng.integers(0, P, size=(height, width), dtype=np.uint64)
+    want = merkle.merkelize(buff, width, height, backend="np")
+    build = merkle_sharded.make_sharded_merkle_levels(height, width, mesh2d)
+    levels = build(*gl.from_u64(buff))
+    assert len(levels) == len(want.levels)
+    for k, (lv, ref) in enumerate(zip(levels, want.levels)):
+        np.testing.assert_array_equal(gl.to_u64(lv), ref, err_msg=f"level {k}")
+
+
+def test_prove_on_2d_mesh_bit_equal(mesh2d):
+    """Complete proof on the (dcn=2, ici=4) mesh == host proof — the
+    multi-host commit pipeline end-to-end (BASELINE.md 2-host config,
+    modelled on the virtual mesh; collectives identical up to device
+    placement)."""
+    from pil2_stark_tpu.compiler import pil1_parser
+    from pil2_stark_tpu.models import fibonacci
+    from pil2_stark_tpu.stark import witness, setup as stark_setup, prover, verifier
+
+    n_bits = 6
+    n = 1 << n_bits
+    pil = pil1_parser.compile_pil_source(fibonacci.pil_source(n_bits))
+    pil["name"] = "Fibonacci"
+    const_cols = witness.generate_fixed_cols(pil["references"], n)
+    fibonacci.build_constants(n, const_cols.Fibonacci)
+    cm_cols = witness.generate_wtns_cols(pil["references"], n)
+    out = fibonacci.execute(n, cm_cols.Fibonacci, [1, 2])
+    publics = [1, 2, out]
+    s = stark_setup.stark_setup(const_cols.buffer, pil, fibonacci.STARK_STRUCT)
+
+    res_mesh = prover.prove(
+        s["starkInfo"], s["expressionsInfo"], const_cols.buffer,
+        s["constTree"], (cm_cols.buffer, publics), backend="device",
+        mesh=mesh2d,
+    )
+    res_host = prover.prove(
+        s["starkInfo"], s["expressionsInfo"], const_cols.buffer,
+        s["constTree"], (cm_cols.buffer, publics), backend="numpy",
+    )
+
+    def canon(o):
+        if isinstance(o, np.ndarray):
+            return [canon(x) for x in o.tolist()]
+        if isinstance(o, (list, tuple)):
+            return [canon(x) for x in o]
+        if isinstance(o, dict):
+            return {k: canon(v) for k, v in o.items()}
+        if isinstance(o, (int, np.integer)):
+            return int(o)
+        return o
+
+    assert canon(res_mesh["proof"]) == canon(res_host["proof"])
+    assert verifier.verify(
+        res_mesh["proof"], res_mesh["publics"], s["constRoot"],
+        s["starkInfo"], s["verifierInfo"],
+    )
