@@ -33,6 +33,12 @@ import time
 
 import numpy as np
 
+# Reuse the entry module's environment setup (persistent compilation cache +
+# XLA:CPU workaround flags) — without the cache every bench run recompiles
+# the full 2^20-2^24 program set through the remote-compile relay, which
+# alone exceeds a 10-minute budget.
+import __graft_entry__  # noqa: F401
+
 HBM_BYTES_PER_S = 819e9  # v5e (TPU v5 lite) HBM bandwidth
 P = 0xFFFFFFFF00000001
 

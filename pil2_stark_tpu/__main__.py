@@ -137,6 +137,8 @@ def cmd_prove(args):
 
     s = setup.stark_setup(const_buffer, pil, ss)
     kwargs = {"backend": args.backend} if args.backend else {}
+    if getattr(args, "profile_dir", None):
+        kwargs["profile_dir"] = args.profile_dir
     res = prover.prove(
         s["starkInfo"], s["expressionsInfo"], const_buffer, s["constTree"],
         (cm_buffer, publics), **kwargs,
@@ -179,7 +181,8 @@ def cmd_buildconsttree(args):
         fibonacci.build_constants(n, const_cols.Fibonacci)
         const_buffer = const_cols.buffer
     elif args.const_file:
-        _, const_buffer, _ = serialization.read_const_file(args.const_file)
+        _, const_buffer, _ = serialization.read_const_file(
+            args.const_file, n_pols=args.npols)
     else:
         raise SystemExit("--model or --const-file required")
 
@@ -191,6 +194,20 @@ def cmd_buildconsttree(args):
     merkle.write_tree(tree, args.consttree)
     serialization.dump_verkey(tree.root, args.verkey)
     serialization.write_const_file(args.constsfile, const_buffer, ext)
+    if args.ref_consts:
+        from .field import gl64
+        from .utils import binfile
+
+        binfile.write_consts_binfile(
+            args.ref_consts, ext, tree,
+            gl64.powers(gl64.w(ss["nBits"]), 1 << ss["nBits"]),
+            gl64.powers(gl64.w(ss["nBitsExt"]), 1 << ss["nBitsExt"],
+                        start=gl64.SHIFT_INT),
+        )
+    if args.pilcom_const:
+        from .utils import binfile
+
+        binfile.write_pilcom_const(args.pilcom_const, const_buffer)
     print(f"wrote {args.consttree}, {args.verkey}, {args.constsfile}")
 
 
@@ -423,7 +440,9 @@ def _compressor_like_setup(args, setup_fn, exec_mod, fr: bool):
     if fr:
         const_rows = [[str(int(v)) for v in row] for row in s["constPols"]]
         serialization.dump_json(const_rows, pfx + ".const.json")
-        exec_mod.write_exec_file(pfx + ".exec", s["plonkAdditions"], s["sMap"])
+        exec_mod.write_exec_file(pfx + ".exec", s["plonkAdditions"],
+                                 s["sMap"],
+                                 ref_format=getattr(args, "ref_exec", False))
     else:
         np.save(pfx + ".const.npy", s["constBuffer"])
         exec_mod.write_exec_file(pfx + ".exec", s["plonkAdditions"], s["sMap"])
@@ -480,7 +499,8 @@ def cmd_final_exec(args):
     from .utils import serialization
 
     meta = serialization.load_json(args.meta)
-    adds, smap = fexec.read_exec_file(args.exec_file)
+    adds, smap = fexec.read_exec_file(
+        args.exec_file, n_cols=meta.get("cols") or None)
     wtns = [int(x) for x in serialization.load_json(args.wtns)]
     cm = fexec.exec_witness(wtns, adds, smap)
     serialization.dump_json(
@@ -681,14 +701,25 @@ def main(argv=None):
     sp.add_argument("--publics")
     sp.add_argument("--backend",
                     choices=["numpy", "jax", "device"])
+    sp.add_argument("--profile-dir", dest="profile_dir",
+                    help="capture a jax.profiler (xprof) trace of the "
+                         "proof into this directory")
     sp.set_defaults(fn=cmd_prove)
 
     sp = sub.add_parser("buildconsttree")
     common(sp)
     sp.add_argument("--const-file", dest="const_file")
+    sp.add_argument("--npols", type=int,
+                    help="column count when --const-file is a headerless "
+                         "pilcom .const file")
     sp.add_argument("--consttree", default="consttree.bin")
     sp.add_argument("--verkey", default="verkey.json")
     sp.add_argument("--constsfile", default="consts.bin")
+    sp.add_argument("--ref-consts", dest="ref_consts",
+                    help="also write the reference's 'cnts' binfile "
+                         "(stark_constsPolsFile.js layout)")
+    sp.add_argument("--pilcom-const", dest="pilcom_const",
+                    help="also write a pilcom-layout .const file")
     sp.set_defaults(fn=cmd_buildconsttree)
 
     sp = sub.add_parser("verify")
@@ -726,6 +757,10 @@ def main(argv=None):
                             choices=[0, 6, 9])
             sp.add_argument("--ncommitted", type=int,
                             help="finalfflonk (cols=0) committed columns")
+            sp.add_argument("--ref-exec", dest="ref_exec",
+                            action="store_true",
+                            help="write .exec as the reference's iden3 "
+                                 "'exec' binfile (exec_helpers.js)")
         else:
             sp.add_argument("--cols", type=int, default=12,
                             choices=[12, 18])

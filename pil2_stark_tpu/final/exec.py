@@ -35,10 +35,16 @@ def _fr_bytes(v: int) -> bytes:
     return int(v % FR).to_bytes(32, "little")
 
 
-def write_exec_file(path, plonk_additions, s_map):
+def write_exec_file(path, plonk_additions, s_map, ref_format=False):
     """exec_helpers.js writeExecFile layout: info (nAdds, nSMap), adds
     signal-index pairs (u64), adds Fr coefficient pairs (32-byte LE),
-    sMap row-major (u64)."""
+    sMap row-major (u64).  ref_format=True writes the reference's iden3
+    "exec" binfile container instead of this framework's flat one."""
+    if ref_format:
+        from ..utils import binfile
+
+        binfile.write_exec_binfile(path, plonk_additions, s_map)
+        return
     n_adds = len(plonk_additions)
     n_smap = int(s_map[0].shape[0])
     with open(path, "wb") as f:
@@ -54,9 +60,19 @@ def write_exec_file(path, plonk_additions, s_map):
         ).tofile(f)
 
 
-def read_exec_file(path):
+def read_exec_file(path, n_cols=None):
+    """Auto-detects the container: this framework's flat format or the
+    reference's "exec" binfile (which carries no column count — pass
+    n_cols for those, as the reference's readExecFile does)."""
     with open(path, "rb") as f:
         magic = f.read(8)
+        if magic[:4] == b"exec":
+            from ..utils import binfile
+
+            if n_cols is None:
+                raise ValueError(
+                    f"{path}: reference exec binfile needs n_cols")
+            return binfile.read_exec_binfile(path, n_cols)
         if magic != _EXEC_MAGIC:
             raise ValueError(
                 f"{path}: not a final-tier exec file (bad magic {magic!r})"

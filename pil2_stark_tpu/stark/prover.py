@@ -26,7 +26,7 @@ from .context import ProverCtx
 from .fri import FRI
 
 
-def prove(pil_info, expressions_info, const_pols, const_tree, inputs, debug=False, split_linear_hash=False, backend="numpy", logger=None, mesh=None):
+def prove(pil_info, expressions_info, const_pols, const_tree, inputs, debug=False, split_linear_hash=False, backend="numpy", logger=None, mesh=None, profile_dir=None):
     """proofGen (prover.js:7-131).  Returns {proof, publics, challenges,
     challengesFRISteps} or, in debug mode, the list of constraint errors.
 
@@ -56,6 +56,18 @@ def prove(pil_info, expressions_info, const_pols, const_tree, inputs, debug=Fals
     shardings.  FRI (small domains) runs replicated.  Proof bits are
     identical to the single-device backends.
     """
+    if profile_dir:
+        # XLA-level trace capture (device HLO timelines + host events),
+        # viewable in xprof/tensorboard — the deep-observability layer on
+        # top of the PhaseTimer wall-clock breakdown (SURVEY.md §5).
+        import jax
+
+        with jax.profiler.trace(profile_dir):
+            return prove(pil_info, expressions_info, const_pols,
+                         const_tree, inputs, debug=debug,
+                         split_linear_hash=split_linear_hash,
+                         backend=backend, logger=logger, mesh=mesh)
+
     ctx = ProverCtx(
         pil_info, expressions_info, const_pols, const_tree, debug=debug,
         backend=backend, mesh=mesh,

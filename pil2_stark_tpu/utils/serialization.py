@@ -106,9 +106,30 @@ def _read_pols(f, rows: int, cols: int, path: str, what: str) -> np.ndarray:
     return arr.reshape(rows, cols)
 
 
-def read_const_file(path: str):
+def read_const_file(path: str, n_pols: int | None = None):
+    """Reads this framework's consts container.  For a headerless pilcom
+    ``.const`` file (the reference's constPols.loadFromFile input —
+    main_buildconsttree.js:60) pass n_pols; rows are inferred as the
+    largest power of two that fits."""
     with open(path, "rb") as f:
         if f.read(4) != MAGIC:
+            if n_pols is not None:
+                from . import binfile
+
+                pols = binfile.read_pilcom_const(path, n_pols)
+                rows = pols.shape[0]
+                if rows & (rows - 1):
+                    raise ValueError(
+                        f"pilcom const file {path!r}: {rows} rows is not a "
+                        f"power of two for nPols={n_pols}")
+                header = {
+                    "version": VERSION,
+                    "nBits": rows.bit_length() - 1,
+                    "nConstants": n_pols,
+                    "hasExt": False,
+                    "pilcom": True,
+                }
+                return header, pols, None
             raise ValueError(f"not a consts file (bad magic): {path!r}")
         hlen = int.from_bytes(f.read(4), "little")
         raw = f.read(hlen)

@@ -15,9 +15,18 @@ class PhaseTimer:
 
     @contextlib.contextmanager
     def phase(self, name: str):
+        # Label the phase in the xprof timeline too when a jax.profiler
+        # trace is being captured (prove(profile_dir=...)); TraceAnnotation
+        # is a no-op outside an active capture.
+        import sys
+
+        ann = contextlib.nullcontext()
+        if "jax" in sys.modules:
+            ann = sys.modules["jax"].profiler.TraceAnnotation(name)
         t0 = time.perf_counter()
         try:
-            yield
+            with ann:
+                yield
         finally:
             dt = time.perf_counter() - t0
             self.timings[name] = self.timings.get(name, 0.0) + dt

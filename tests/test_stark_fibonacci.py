@@ -136,3 +136,27 @@ def test_split_linear_hash_e2e(fib_pols):
         res["proof"], res["publics"], s["constRoot"], s["starkInfo"],
         s["verifierInfo"],
     )
+
+
+def test_profile_dir_capture(fib_pols, tmp_path):
+    """prove(profile_dir=...) captures a jax.profiler (xprof) trace and
+    still produces a verifying proof (SURVEY.md §5 tracing subsystem)."""
+    import os
+
+    pil, const_cols, cm_cols, publics = fib_pols
+    s = stark_setup.stark_setup(const_cols.buffer, pil, fibonacci.STARK_STRUCT)
+    pdir = str(tmp_path / "trace")
+    res = prover.prove(
+        s["starkInfo"], s["expressionsInfo"], const_cols.buffer,
+        s["constTree"], (cm_cols.buffer, publics), profile_dir=pdir,
+    )
+    assert verifier.verify(
+        res["proof"], res["publics"], s["constRoot"], s["starkInfo"],
+        s["verifierInfo"],
+    )
+    captured = [
+        os.path.join(root, f)
+        for root, _, fs in os.walk(pdir) for f in fs
+    ]
+    assert any(f.endswith(".xplane.pb") for f in captured), captured
+    assert res["timings"]
