@@ -32,7 +32,7 @@ import struct
 
 from ..curve.bn254 import Q as _FQ
 from ..utils import binfile
-from .plonksetup import FR
+from ..ops.fft_bn128 import FR
 
 ZKEY_MAGIC = b"zkey"
 PILFFLONK_PROTOCOL_ID = 12
@@ -185,7 +185,7 @@ def write_zkey(path: str, zkey: dict, ptau: dict) -> None:
     for idx in sorted(zkey["constCommits"]):
         ent = zkey["constCommits"][idx]
         pol_buf = _fr_buf(ent["pol"])
-        fcommit += _cstr(f"f{idx}")
+        fcommit += _cstr(str(idx))
         fcommit += _g1_bytes(ent["commit"])
         fcommit += struct.pack("<I", len(pol_buf))
         fcommit += pol_buf
@@ -274,7 +274,7 @@ def read_zkey(path: str, vk_only: bool = False):
         pos += 4
         pol = _fr_list(fc[pos:pos + blen])
         pos += blen
-        const_commits[int(name[1:])] = {"commit": commit, "pol": pol}
+        const_commits[name] = {"commit": commit, "pol": pol}
 
     pn = sections[_S_POLSNAMES]
     (n_st,) = struct.unpack_from("<I", pn, 0)

@@ -7,7 +7,7 @@ import pytest
 from pil2_stark_tpu.compiler import pil1_parser, pilinfo
 from pil2_stark_tpu.fflonk import zkey_binfile
 from pil2_stark_tpu.fflonk.prover import fflonk_prove
-from pil2_stark_tpu.fflonk.shkey import fflonk_setup
+from pil2_stark_tpu.fflonk.shkey import fflonk_setup, verification_key
 from pil2_stark_tpu.fflonk.verifier import fflonk_verify
 from pil2_stark_tpu.models import fibonacci
 from pil2_stark_tpu.ops.fft_bn128 import FR
@@ -90,7 +90,8 @@ def test_prove_with_readback_zkey(fib_fr, tmp_path):
     zkey_binfile.write_zkey(path, zkey, ptau)
     zk2, ptau2 = zkey_binfile.read_zkey(path)
 
-    proof = fflonk_prove(zk2, ptau2, info["pilInfo"],
-                         info["expressionsInfo"], cm1, publics)
-    assert fflonk_verify(zk2, info["pilInfo"], info["verifierInfo"],
-                         proof, publics)
+    res = fflonk_prove(zk2, ptau2, info["pilInfo"],
+                       info["expressionsInfo"], cm1, publics)
+    vk = verification_key(zk2, info["pilInfo"])
+    assert fflonk_verify(vk, info["pilInfo"], info["verifierInfo"],
+                         res["proof"], res["publics"])
