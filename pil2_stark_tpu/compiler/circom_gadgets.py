@@ -627,6 +627,129 @@ template LinearHash(nInputs, eSize) {
 """
 
 
+def emit_linearhash_gpu() -> str:
+    return """pragma circom 2.1.0;
+pragma custom_templates;
+
+include "poseidon.circom";
+
+// Plain chained sponge over nInputs base elements (the inner hash of the
+// split layout; linearhash_gpu.circom BasicLinearHash semantics).
+template BasicLinearHash(nInputs) {
+    signal input in[nInputs];
+    signal output out[4];
+
+    var nHashes = 0;
+    if (nInputs > 4) { nHashes = (nInputs - 1) \\ 8 + 1; }
+
+    component h[nHashes];
+
+    if (nInputs <= 4) {
+        for (var k = 0; k < 4; k++) {
+            if (k < nInputs) { out[k] <== in[k]; }
+            else             { out[k] <== 0; }
+        }
+    } else {
+        for (var c = 0; c < nHashes; c++) {
+            h[c] = Poseidon(4);
+            for (var k = 0; k < 8; k++) {
+                if (c*8 + k < nInputs) { h[c].in[k] <== in[c*8 + k]; }
+                else                   { h[c].in[k] <== 0; }
+            }
+            for (var k = 0; k < 4; k++) {
+                if (c == 0) { h[c].capacity[k] <== 0; }
+                else        { h[c].capacity[k] <== h[c - 1].out[k]; }
+            }
+        }
+        out <== h[nHashes - 1].out;
+    }
+}
+
+// Two-level split linear hash (linearhash_gpu.js:31-68 / the reference's
+// linearhash_gpu.circom LinearHash): split the flattened row into
+// batchSize = max(8, ceil(totalIn/4)) chunks, BasicLinearHash each, then
+// BasicLinearHash the concatenated 4-element digests.
+template LinearHash(nInputs, eSize) {
+    signal input in[nInputs][eSize];
+    signal output out[4];
+
+    var totalIn = nInputs * eSize;
+    var batchSize = (totalIn + 3) \\ 4;
+    if (batchSize < 8) { batchSize = 8; }
+    var nHashes = (totalIn + batchSize - 1) \\ batchSize;
+
+    component hash[nHashes];
+
+    var curInput = 0;
+    var curC = 0;
+    for (var i = 0; i < nHashes; i++) {
+        var size = batchSize;
+        if (i == nHashes - 1) { size = totalIn - i*batchSize; }
+        hash[i] = BasicLinearHash(size);
+        for (var k = 0; k < size; k++) {
+            hash[i].in[k] <== in[curInput][curC];
+            curC += 1;
+            if (curC == eSize) { curC = 0; curInput += 1; }
+        }
+    }
+
+    component hashFinal;
+    if (nHashes == 0) {
+        for (var k = 0; k < 4; k++) { out[k] <== 0; }
+    } else if (nHashes == 1) {
+        for (var k = 0; k < 4; k++) { out[k] <== hash[0].out[k]; }
+    } else {
+        hashFinal = BasicLinearHash(nHashes*4);
+        for (var i = 0; i < nHashes; i++) {
+            for (var k = 0; k < 4; k++) {
+                hashFinal.in[i*4 + k] <== hash[i].out[k];
+            }
+        }
+        for (var k = 0; k < 4; k++) { out[k] <== hashFinal.out[k]; }
+    }
+}
+"""
+
+
+def emit_merklehash_gpu() -> str:
+    """Same MerkleHash/VerifyMerkleHash interface as merklehash.circom but
+    with the split ("GPU") leaf layout — a verifier circuit includes exactly
+    one of the two files (stark_verifier.circom.ejs:11-15 include switch)."""
+    return """pragma circom 2.1.0;
+pragma custom_templates;
+
+include "linearhash_gpu.circom";
+include "merkle.circom";
+include "utils.circom";
+
+template MerkleHash(eSize, elementsInLinear, nLinears) {
+    var nBits = log2(nLinears);
+    assert(1 << nBits == nLinears);
+    signal input values[elementsInLinear][eSize];
+    signal input siblings[nBits][4];
+    signal input key[nBits];
+    signal output root[4];
+
+    signal leaf[4] <== LinearHash(elementsInLinear, eSize)(values);
+    root <== Merkle(nBits)(leaf, siblings, key);
+}
+
+template parallel VerifyMerkleHash(eSize, elementsInLinear, nLinears) {
+    var nBits = log2(nLinears);
+    signal input values[elementsInLinear][eSize];
+    signal input siblings[nBits][4];
+    signal input key[nBits];
+    signal input root[4];
+    signal input enable;
+
+    signal computed[4] <== MerkleHash(eSize, elementsInLinear, nLinears)(values, siblings, key);
+    for (var k = 0; k < 4; k++) {
+        enable * (computed[k] - root[k]) === 0;
+    }
+}
+"""
+
+
 def emit_fft() -> str:
     """FFT over extension values with base-field compile-time twiddles.
     Radix-4/radix-2 FFT4 custom-gate network, bit-reverse in, with the
@@ -800,8 +923,10 @@ GADGET_FILES = {
     "treeselector4.circom": emit_treeselector,
     "bitify.circom": emit_bitify,
     "merklehash.circom": emit_merklehash,
+    "merklehash_gpu.circom": emit_merklehash_gpu,
     "merkle.circom": emit_merkle,
     "linearhash.circom": emit_linearhash,
+    "linearhash_gpu.circom": emit_linearhash_gpu,
     "fft.circom": emit_fft,
 }
 

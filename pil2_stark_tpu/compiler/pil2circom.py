@@ -65,6 +65,13 @@ class SymTranscript:
         self.used[h].add(i)
         return f"{self.prefix}{h}[{i}]"
 
+    def get_state_exprs(self) -> list:
+        """transcript.js getState: flush pending, return the 4 state
+        expressions (used for the hashCommits sub-transcripts)."""
+        if self.pending:
+            self._update()
+        return list(self.state)
+
     def get_field(self):
         return [self.get_fields1() for _ in range(3)]
 
@@ -120,6 +127,8 @@ class TacPrinter:
             return (3, [f"evals[{r['id']}][{k}]" for k in range(3)])
         if t == "public":
             return (1, [f"publics[{r['id']}]"])
+        if t == "subproofValue":
+            return (3, [f"subproofValues[{r['id']}][{k}]" for k in range(3)])
         if t == "challenge":
             return (3, self.challenge_comps(r))
         out = self.ref_hook(r)
@@ -149,6 +158,8 @@ class TacPrinter:
             return f"tmp_{r['id']}"
         if t == "eval":
             return f"evals[{r['id']}]"
+        if t == "subproofValue":
+            return f"subproofValues[{r['id']}]"
         if t == "challenge":
             si = self.stark_info
             stage, sid = r["stage"], r["stageId"]
@@ -332,8 +343,11 @@ def gen_transcript(idx, stark_info, const_root):
     steps = ss["steps"]
     last_pol_n = 1 << steps[-1]["nBits"]
 
+    hash_commits = bool(ss.get("hashCommits"))
+
     t = SymTranscript()
     assigns = []  # (after hash index, line)
+    sub_blocks = []  # rendered hashCommits sub-transcripts
 
     def squeeze3(target):
         comps = t.get_field()
@@ -341,11 +355,33 @@ def gen_transcript(idx, stark_info, const_root):
             (t.hash_index(), f"    {target} <== [{comps[0]}, {comps[1]}, {comps[2]}];")
         )
 
-    # absorb order: calculateTranscriptVerify.js:7-103 (GL, no hashCommits)
+    def sub_state(prefix, exprs, target):
+        """hashCommits sub-transcript: absorb exprs into a fresh sponge,
+        bind its 4-element state to `target` (stark_verifier.circom.ejs
+        :304-371 semantics)."""
+        sub = SymTranscript(f"transcriptHash_{prefix}_")
+        for e in exprs:
+            sub.put(e)
+        state = sub.get_state_exprs()
+        lines = sub.render([])
+        lines.append(
+            f"    signal {target}[4] <== [{state[0]}, {state[1]}, {state[2]}, {state[3]}];"
+        )
+        sub_blocks.append("\n".join(lines))
+        for k in range(4):
+            t.put(f"{target}[{k}]")
+
+    # absorb order: calculateTranscriptVerify.js:7-103 (GL), with the
+    # hashCommits variant absorbing sub-transcript states instead of the
+    # raw publics / evals / final-polynomial values
     for k in range(4):
         t.put(f"rootC[{k}]")
-    for k in range(n_publics):
-        t.put(f"publics[{k}]")
+    if hash_commits:
+        sub_state("publics", [f"publics[{k}]" for k in range(n_publics)],
+                  "publicsHash")
+    else:
+        for k in range(n_publics):
+            t.put(f"publics[{k}]")
     for stage in range(1, n_stages + 1):
         for c in range(_n_challenges(si, stage)):
             squeeze3(f"challengesStage{stage}[{c}]")
@@ -355,9 +391,16 @@ def gen_transcript(idx, stark_info, const_root):
     for k in range(4):
         t.put(f"root{n_stages + 1}[{k}]")
     squeeze3("challengeXi")
-    for e in range(n_evals):
-        for k in range(3):
-            t.put(f"evals[{e}][{k}]")
+    if hash_commits:
+        sub_state(
+            "evals",
+            [f"evals[{e}][{k}]" for e in range(n_evals) for k in range(3)],
+            "evalsHash",
+        )
+    else:
+        for e in range(n_evals):
+            for k in range(3):
+                t.put(f"evals[{e}][{k}]")
     squeeze3("challengesFRI[0]")
     squeeze3("challengesFRI[1]")
     for s in range(len(steps)):
@@ -365,6 +408,12 @@ def gen_transcript(idx, stark_info, const_root):
         if s < len(steps) - 1:
             for k in range(4):
                 t.put(f"s{s + 1}_root[{k}]")
+        elif hash_commits:
+            sub_state(
+                "lastPolFRI",
+                [f"finalPol[{g}][{k}]" for g in range(last_pol_n) for k in range(3)],
+                "lastPolFRIHash",
+            )
         else:
             for g in range(last_pol_n):
                 for k in range(3):
@@ -395,6 +444,9 @@ def gen_transcript(idx, stark_info, const_root):
     qb = steps[0]["nBits"]
     lines.append(f"    signal output queriesFRI[{nq}][{qb}];")
     lines.append("")
+    for blk in sub_blocks:
+        lines.append(blk)
+        lines.append("")
     lines += t.render(assigns)
     lines.append("")
     lines.append(
@@ -498,6 +550,10 @@ def gen_verify_evaluations(idx, stark_info, verifier_info):
     lines.append(f"    signal input evals[{n_evals}][3];")
     if si["nPublics"]:
         lines.append(f"    signal input publics[{si['nPublics']}];")
+    if si.get("nSubproofValues"):
+        lines.append(
+            f"    signal input subproofValues[{si['nSubproofValues']}][3];"
+        )
     lines.append("    signal input enable;")
     lines.append("")
     lines.append("    // z^(2^k) chain up to z^N")
@@ -778,12 +834,27 @@ def gen_stark_verifier(idx, stark_info, const_root, options):
     last_n = 1 << steps[-1]["nBits"]
     widths = _stage_widths(si)
 
+    options = options or {}
+    verkey_input = bool(options.get("verkeyInput"))
+    enable_input = bool(options.get("enableInput"))
+    input_challenges = bool(options.get("inputChallenges"))
+    multi_fri = bool(options.get("multiFRI"))
+    n_subproof = si.get("nSubproofValues", 0)
+
     lines = [f"template StarkVerifier{idx}() {{"]
     lines.append(f"    signal input publics[{n_publics}];")
+    if n_subproof:
+        lines.append(f"    signal input subproofValues[{n_subproof}][3];")
     for tree_i, _, _ in widths:
         lines.append(f"    signal input root{tree_i}[4];")
-    root_vals = ", ".join(str(int(v)) for v in const_root)
-    lines.append(f"    signal rootC[4] <== [{root_vals}]; // constant-tree commitment")
+    if verkey_input:
+        # aggregation tiers select the verification key at run time
+        # (vadcop SelectVerificationKey feeds this input)
+        lines.append("    signal input rootC[4]; // constant-tree commitment (input)")
+    else:
+        root_vals = ", ".join(str(int(v)) for v in const_root)
+        decl = "signal output rootC[4]" if input_challenges else "signal rootC[4]"
+        lines.append(f"    {decl} <== [{root_vals}]; // constant-tree commitment")
     lines.append(f"    signal input evals[{n_evals}][3];")
     for tree_i, _, width in widths:
         if width:
@@ -805,35 +876,52 @@ def gen_stark_verifier(idx, stark_info, const_root, options):
         )
     lines.append(f"    signal input finalPol[{last_n}][3];")
     lines.append("")
-    lines.append("    signal enabled;")
-    lines.append("    enabled <== 1;")
+    if enable_input:
+        lines.append("    // aggregation gate: enable=0 skips every check")
+        lines.append("    signal input enable;")
+        lines.append("    enable * (enable - 1) === 0;")
+        lines.append("    signal enabled;")
+        lines.append("    enabled <== enable;")
+    else:
+        lines.append("    signal enabled;")
+        lines.append("    enabled <== 1;")
     lines.append("")
-    lines.append(f"    signal queryVals[{nq}][3];")
+    qv_decl = "signal output" if multi_fri else "signal"
+    lines.append(f"    {qv_decl} queryVals[{nq}][3];")
+    ch_decl = "signal input" if input_challenges else "signal"
     for stage in range(2, n_stages + 1):
         lines.append(
-            f"    signal challengesStage{stage}[{_n_challenges(si, stage)}][3];"
+            f"    {ch_decl} challengesStage{stage}[{_n_challenges(si, stage)}][3];"
         )
-    lines.append("    signal challengeQ[3];")
-    lines.append("    signal challengeXi[3];")
-    lines.append("    signal challengesFRI[2][3];")
-    lines.append(f"    signal challengesFRISteps[{len(steps) + 1}][3];")
+    lines.append(f"    {ch_decl} challengeQ[3];")
+    lines.append(f"    {ch_decl} challengeXi[3];")
+    lines.append(f"    {ch_decl} challengesFRI[2][3];")
+    lines.append(f"    {ch_decl} challengesFRISteps[{len(steps) + 1}][3];")
     lines.append(f"    signal queriesFRI[{nq}][{ext_bits}];")
     lines.append("")
-    # transcript call
-    ch_outs = [
-        f"challengesStage{stage}" for stage in range(2, n_stages + 1)
-    ] + ["challengeQ", "challengeXi", "challengesFRI", "challengesFRISteps", "queriesFRI"]
-    t_ins = [f"publics", "rootC"] + [f"root{i}" for i, _, _ in widths] + ["evals"]
-    t_ins += [f"s{s}_root" for s in range(1, len(steps))] + ["finalPol"]
-    lines.append(
-        f"    ({','.join(ch_outs)}) <== Transcript{idx}()({','.join(t_ins)});"
-    )
+    if input_challenges:
+        # vadcop: challenges arrive from the outer aggregation context;
+        # only the query positions are derived in-circuit
+        lines.append(
+            f"    queriesFRI <== calculateFRIQueries{idx}()(challengesFRISteps[{len(steps)}]);"
+        )
+    else:
+        ch_outs = [
+            f"challengesStage{stage}" for stage in range(2, n_stages + 1)
+        ] + ["challengeQ", "challengeXi", "challengesFRI", "challengesFRISteps", "queriesFRI"]
+        t_ins = [f"publics", "rootC"] + [f"root{i}" for i, _, _ in widths] + ["evals"]
+        t_ins += [f"s{s}_root" for s in range(1, len(steps))] + ["finalPol"]
+        lines.append(
+            f"    ({','.join(ch_outs)}) <== Transcript{idx}()({','.join(t_ins)});"
+        )
     lines.append("")
     ve_args = [
         f"challengesStage{stage}" for stage in range(2, n_stages + 1)
     ] + ["challengeQ", "challengeXi", "evals"]
     if n_publics:
         ve_args.append("publics")
+    if n_subproof:
+        ve_args.append("subproofValues")
     ve_args.append("enabled")
     lines.append(f"    VerifyEvaluations{idx}()({', '.join(ve_args)});")
     lines.append("")
@@ -952,6 +1040,9 @@ def pil2circom(const_root, stark_info, verifier_info, options=None, index=0):
             const_root, stark_info, verifier_info, options, index
         )
 
+    merklehash_inc = (
+        "merklehash_gpu.circom" if ss.get("splitLinearHash") else "merklehash.circom"
+    )
     parts = [
         "pragma circom 2.1.0;",
         "pragma custom_templates;",
@@ -963,12 +1054,14 @@ def pil2circom(const_root, stark_info, verifier_info, options=None, index=0):
         'include "fft.circom";',
         'include "evalpol.circom";',
         'include "treeselector4.circom";',
-        'include "merklehash.circom";',
+        f'include "{merklehash_inc}";',
         "",
         gen_fri_queries(index, stark_info),
         "",
-        gen_transcript(index, stark_info, const_root),
-        "",
+    ]
+    if not options.get("inputChallenges"):
+        parts += [gen_transcript(index, stark_info, const_root), ""]
+    parts += [
         gen_verify_fri(index),
         "",
         gen_verify_evaluations(index, stark_info, verifier_info),
@@ -983,9 +1076,12 @@ def pil2circom(const_root, stark_info, verifier_info, options=None, index=0):
         "",
         gen_stark_verifier(index, stark_info, const_root, options),
         "",
-        f"component main {{public [publics]}} = StarkVerifier{index}();",
-        "",
     ]
+    if not options.get("skipMain"):
+        parts += [
+            f"component main {{public [publics]}} = StarkVerifier{index}();",
+            "",
+        ]
     return "\n".join(parts)
 
 

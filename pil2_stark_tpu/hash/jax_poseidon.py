@@ -234,32 +234,22 @@ def _jit_linear_hash(width: int, split: bool):
 # that takes minutes to compile, PER (H, W) shape.  Chunked dispatch keeps
 # every buffer device-resident and amortizes compiles across all trees.)
 
-_PAIR_CHUNK_BIG = 8192  # pairs per dispatch on large levels
-_PAIR_CHUNK_SMALL = 256  # levels with <= this many pairs
-
-
 @jax.jit
-def _hash_level_chunk(dlo, dhi):
-    """(2m, 4) interleaved level chunk -> (m, 4) parent digests."""
+def _hash_level_all(dlo, dhi):
+    """(2m, 4) interleaved level -> (m, 4) parent digests, ONE dispatch.
+
+    jit specializes per level size, but the traced program is a single
+    permutation, so compiles stay trivial; sizes are shared across every
+    tree in the process (level m of a 2^21 tree == level m+4 of a 2^17
+    tree).  Per-dispatch chunking (round 2) sent ~2·H/8192 programs per
+    tree through the device tunnel — the dispatch storm, not hashing,
+    dominated tree builds on remote-device deployments."""
     return hash_pairs((dlo[0::2], dhi[0::2]), (dlo[1::2], dhi[1::2]))
 
 
 def _hash_level(dlo, dhi):
-    """One padded tree level (2m, 4) -> (m, 4), via fixed-chunk dispatches."""
-    n_pairs = dlo.shape[0] // 2
-    chunk = _PAIR_CHUNK_SMALL if n_pairs <= _PAIR_CHUNK_SMALL else _PAIR_CHUNK_BIG
-    total = -(-n_pairs // chunk) * chunk
-    if total != n_pairs:
-        pad = ((0, 2 * (total - n_pairs)), (0, 0))
-        dlo = jnp.pad(dlo, pad)
-        dhi = jnp.pad(dhi, pad)
-    outs = [
-        _hash_level_chunk(dlo[2 * s : 2 * (s + chunk)], dhi[2 * s : 2 * (s + chunk)])
-        for s in range(0, total, chunk)
-    ]
-    lo = outs[0][0] if len(outs) == 1 else jnp.concatenate([o[0] for o in outs])
-    hi = outs[0][1] if len(outs) == 1 else jnp.concatenate([o[1] for o in outs])
-    return lo[:n_pairs], hi[:n_pairs]
+    """One padded tree level (2m, 4) -> (m, 4)."""
+    return _hash_level_all(dlo, dhi)
 
 
 _ROW_CHUNK = 8192  # leaf rows per linear-hash dispatch
@@ -277,30 +267,55 @@ def _jit_leaf_chunk(n_chunks: int, split_width: int):
     return jax.jit(lambda rows: linear_hash(rows, n_chunks * 8))
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_leaf_all(n_rc: int, chunk: int, n_chunks: int, split_width: int):
+    """All leaf sponges of a tree in ONE dispatch: (n_rc·chunk, W) rows are
+    scanned in row blocks of `chunk` inside the program (the traced body is
+    one linear hash, so compiles stay cheap; n_rc is in the key but the
+    program is a scan, not an unroll)."""
+    if split_width:
+        inner = lambda rows: linear_hash_split(rows, split_width)
+    else:
+        inner = lambda rows: linear_hash(rows, n_chunks * 8)
+
+    def body(rows):
+        lo, hi = rows
+        w = lo.shape[1]
+        lo = lo.reshape(n_rc, chunk, w)
+        hi = hi.reshape(n_rc, chunk, w)
+
+        def step(_, blk):
+            return None, inner(blk)
+
+        _, (dlo, dhi) = jax.lax.scan(step, None, (lo, hi))
+        return dlo.reshape(n_rc * chunk, 4), dhi.reshape(n_rc * chunk, 4)
+
+    return jax.jit(body)
+
+
 def _leaf_digests_device(rows, width: int, height: int, split: bool):
-    """(height, width) pair -> (height, 4) digest pair, chunked over rows."""
+    """(height, width) pair -> (height, 4) digest pair, one dispatch."""
     lo, hi = rows
     if width <= 4:
         pad = ((0, 0), (0, 4 - width))
         return (jnp.pad(lo, pad), jnp.pad(hi, pad))
-    if split:
-        fn = _jit_leaf_chunk(0, width)
-    else:
+    split_width = width if split else 0
+    if not split:
         n_chunks = -(-width // 8)
         if width != n_chunks * 8:
             pad = ((0, 0), (0, n_chunks * 8 - width))
             lo = jnp.pad(lo, pad)
             hi = jnp.pad(hi, pad)
-        fn = _jit_leaf_chunk(n_chunks, 0)
-    chunk = min(_ROW_CHUNK, height) if height >= _ROW_CHUNK else height
+    else:
+        n_chunks = 0
+    chunk = min(_ROW_CHUNK, height)
     total = -(-height // chunk) * chunk
     if total != height:
         pad = ((0, total - height), (0, 0))
         lo = jnp.pad(lo, pad)
         hi = jnp.pad(hi, pad)
-    outs = [fn((lo[s : s + chunk], hi[s : s + chunk])) for s in range(0, total, chunk)]
-    dlo = outs[0][0] if len(outs) == 1 else jnp.concatenate([o[0] for o in outs])
-    dhi = outs[0][1] if len(outs) == 1 else jnp.concatenate([o[1] for o in outs])
+    fn = _jit_leaf_all(total // chunk, chunk, n_chunks, split_width)
+    dlo, dhi = fn((lo, hi))
     return dlo[:height], dhi[:height]
 
 

@@ -77,26 +77,29 @@ class ProverCtx:
                 gl64.powers(gl64.w(self.n_bits_ext), self.ext_N),
             )
 
-            zh_inv = polutils.build_zh_inv(self.n_bits, self.n_bits_ext)
             boundaries = pil_info["boundaries"]
-            self.Zi_ext = np.zeros((len(boundaries), self.ext_N), dtype=np.uint64)
-            for i, b in enumerate(boundaries):
-                if b["name"] == "everyRow":
-                    self.Zi_ext[i] = zh_inv
-                elif b["name"] == "firstRow":
-                    self.Zi_ext[i] = polutils.build_one_row_zerofier_inv(
-                        zh_inv, self.n_bits, self.n_bits_ext, 0
-                    )
-                elif b["name"] == "lastRow":
-                    self.Zi_ext[i] = polutils.build_one_row_zerofier_inv(
-                        zh_inv, self.n_bits, self.n_bits_ext, self.N - 1
-                    )
-                elif b["name"] == "everyFrame":
-                    self.Zi_ext[i] = polutils.build_frame_zerofier_inv(
-                        zh_inv, self.n_bits, self.n_bits_ext, b
-                    )
-                else:
-                    raise ValueError(f"Invalid boundary {b['name']}")
+            if not self.device:
+                # host zerofier tables; the device backend builds these ON
+                # the device from O(bits) scalars (device.domain_consts)
+                zh_inv = polutils.build_zh_inv(self.n_bits, self.n_bits_ext)
+                self.Zi_ext = np.zeros((len(boundaries), self.ext_N), dtype=np.uint64)
+                for i, b in enumerate(boundaries):
+                    if b["name"] == "everyRow":
+                        self.Zi_ext[i] = zh_inv
+                    elif b["name"] == "firstRow":
+                        self.Zi_ext[i] = polutils.build_one_row_zerofier_inv(
+                            zh_inv, self.n_bits, self.n_bits_ext, 0
+                        )
+                    elif b["name"] == "lastRow":
+                        self.Zi_ext[i] = polutils.build_one_row_zerofier_inv(
+                            zh_inv, self.n_bits, self.n_bits_ext, self.N - 1
+                        )
+                    elif b["name"] == "everyFrame":
+                        self.Zi_ext[i] = polutils.build_frame_zerofier_inv(
+                            zh_inv, self.n_bits, self.n_bits_ext, b
+                        )
+                    else:
+                        raise ValueError(f"Invalid boundary {b['name']}")
 
             n_openings = len(pil_info["openingPoints"])
             if not self.device:
@@ -110,6 +113,31 @@ class ProverCtx:
                         "backend='device' supports GL hash trees only "
                         "(the BN128 tier runs at small recursion sizes on host)"
                     )
+
+                from . import device as _dev
+
+                # x_n / x_ext / Zi rows expand on device from O(bits)
+                # scalars — no bulk host->device table upload
+                dx_n, dx_ext, dZi = _dev.domain_consts(
+                    self.n_bits, self.n_bits_ext, boundaries
+                )
+                # const uploads are cached on the (long-lived) const tree:
+                # re-proving with the same setup must not re-ride the tunnel
+                cache = getattr(const_tree, "_dev_pairs", None)
+                if cache is None:
+                    cache = {}
+                    try:
+                        const_tree._dev_pairs = cache
+                    except AttributeError:
+                        pass
+                shard_key = id(self.mesh) if self.mesh is not None else None
+                dconst = cache.get(shard_key)
+                if dconst is None:
+                    dconst = {
+                        "n": _jgl.from_u64(self.const_n),
+                        "ext": _jgl.from_u64(self.const_ext),
+                    }
+                    cache[shard_key] = dconst
 
                 if self.mesh is not None:
                     import jax
@@ -125,30 +153,31 @@ class ProverCtx:
                             jax.device_put(pair[1], sharding),
                         )
 
+                    if dconst.get("sharded") is None:
+                        dconst["sharded"] = {
+                            "n": _put(dconst["n"], self.row_sharding),
+                            "ext": _put(dconst["ext"], self.row_sharding),
+                        }
                     self.dsections = {
-                        "n": {"const": _put(_jgl.from_u64(self.const_n), self.row_sharding)},
-                        "ext": {"const": _put(_jgl.from_u64(self.const_ext), self.row_sharding)},
+                        "n": {"const": dconst["sharded"]["n"]},
+                        "ext": {"const": dconst["sharded"]["ext"]},
                     }
                     self.dx = {
-                        "n": _put(_jgl.from_u64(self.x_n), rows1d),
-                        "ext": _put(_jgl.from_u64(self.x_ext), rows1d),
+                        "n": _put(dx_n, rows1d),
+                        "ext": _put(dx_ext, rows1d),
                     }
                     # Zi is (nBoundaries, extN): shard the domain axis
                     self.dZi = _put(
-                        _jgl.from_u64(self.Zi_ext),
-                        NamedSharding(self.mesh, _P(None, axes)),
+                        dZi, NamedSharding(self.mesh, _P(None, axes))
                     )
                 else:
                     self.row_sharding = None
                     self.dsections = {
-                        "n": {"const": _jgl.from_u64(self.const_n)},
-                        "ext": {"const": _jgl.from_u64(self.const_ext)},
+                        "n": {"const": dconst["n"]},
+                        "ext": {"const": dconst["ext"]},
                     }
-                    self.dx = {
-                        "n": _jgl.from_u64(self.x_n),
-                        "ext": _jgl.from_u64(self.x_ext),
-                    }
-                    self.dZi = _jgl.from_u64(self.Zi_ext)
+                    self.dx = {"n": dx_n, "ext": dx_ext}
+                    self.dZi = dZi
                 self.dxdiv = None
                 self.dq = None
                 self.df = None

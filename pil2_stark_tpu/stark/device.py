@@ -121,6 +121,119 @@ def gl_sum0(a):
 
 
 # ---------------------------------------------------------------------------
+# domain constants (x_n, x_ext, zerofier-inverse rows) built ON DEVICE
+#
+# Round 2 built these as numpy arrays and device_put them per prove() —
+# ~70 MB for a 2^20 machine, several seconds through a remote-device
+# tunnel.  Here the host supplies only O(bits) scalars (doubling powers,
+# the periodic zh pattern, zerofier roots) and one jitted program expands
+# them on device.
+
+
+def _dev_powers_doubling(p2, bits: int):
+    """1, g, g², …, g^{2^bits−1} as a (2^bits,) pair from the doubling
+    scalars p2 = pair (bits,) holding g^(2^k)."""
+    acc = (jnp.ones((1,), jnp.uint32), jnp.zeros((1,), jnp.uint32))
+    for k in range(bits):
+        nxt = gl.mul(acc, (p2[0][k], p2[1][k]))
+        acc = (
+            jnp.concatenate([acc[0], nxt[0]]),
+            jnp.concatenate([acc[1], nxt[1]]),
+        )
+    return acc
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_domain_consts(n_bits: int, n_bits_ext: int, boundaries: tuple):
+    """boundaries: tuple of ("everyRow",) | ("firstRow",) | ("lastRow",) |
+    ("everyFrame", offsetMin, offsetMax).  Returns a jitted
+    (wn2, wext2, zh_pat, roots) -> (x_n, x_ext, Zi) program."""
+    n, ext_n = 1 << n_bits, 1 << n_bits_ext
+    extend = 1 << (n_bits_ext - n_bits)
+
+    def body(wn2, wext2, zh_pat, roots):
+        x_n = _dev_powers_doubling(wn2, n_bits)
+        xe = _dev_powers_doubling(wext2, n_bits_ext)
+        x_ext = gl.mul_const(xe, gl64.SHIFT_INT)
+        zh_row = (
+            jnp.tile(zh_pat[0], ext_n // extend),
+            jnp.tile(zh_pat[1], ext_n // extend),
+        )
+        zi_lo, zi_hi = [], []
+        ri = 0
+        for b in boundaries:
+            if b[0] == "everyRow":
+                row = zh_row
+            elif b[0] in ("firstRow", "lastRow"):
+                r = (roots[0][ri], roots[1][ri])
+                ri += 1
+                row = gl_inv(gl.mul(gl.sub(x_ext, r), zh_row))
+            else:  # everyFrame: product of (x - root), NOT inverted
+                n_roots = b[1] + b[2]
+                row = (jnp.ones((ext_n,), jnp.uint32),
+                       jnp.zeros((ext_n,), jnp.uint32))
+                for _ in range(n_roots):
+                    r = (roots[0][ri], roots[1][ri])
+                    ri += 1
+                    row = gl.mul(row, gl.sub(x_ext, r))
+            zi_lo.append(row[0])
+            zi_hi.append(row[1])
+        zi = (jnp.stack(zi_lo, axis=0), jnp.stack(zi_hi, axis=0))
+        return x_n, x_ext, zi
+
+    return jax.jit(body)
+
+
+def domain_consts(n_bits: int, n_bits_ext: int, boundaries_list):
+    """Host wrapper: normalize the boundary descriptors, build the tiny
+    scalar inputs, run the device program.  Bit-exact with the numpy
+    tables of ops/polutils.py (build_zh_inv / build_one_row_zerofier_inv /
+    build_frame_zerofier_inv)."""
+    n = 1 << n_bits
+    key, roots = [], []
+    for b in boundaries_list:
+        name = b["name"]
+        if name == "everyRow":
+            key.append(("everyRow",))
+        elif name == "firstRow":
+            key.append(("firstRow",))
+            roots.append(1)
+        elif name == "lastRow":
+            key.append(("lastRow",))
+            roots.append(pow(gl64.w(n_bits), n - 1, gl64.P_INT))
+        elif name == "everyFrame":
+            key.append(("everyFrame", b["offsetMin"], b["offsetMax"]))
+            for i in range(b["offsetMin"]):
+                roots.append(pow(gl64.w(n_bits), i, gl64.P_INT))
+            for i in range(b["offsetMax"]):
+                roots.append(pow(gl64.w(n_bits), n - i - 1, gl64.P_INT))
+        else:
+            raise ValueError(f"Invalid boundary {name}")
+
+    def dbl(g, bits):
+        out = np.empty(bits, dtype=np.uint64)
+        s = g
+        for k in range(bits):
+            out[k] = s
+            s = (s * s) % gl64.P_INT
+        return out
+
+    extend_bits = n_bits_ext - n_bits
+    sn = pow(gl64.SHIFT_INT, n, gl64.P_INT)
+    zh_pat = gl64.inv(gl64.sub(
+        gl64.mul(np.uint64(sn), gl64.powers(gl64.w(extend_bits), 1 << extend_bits)),
+        np.uint64(1),
+    ))
+    fn = _jit_domain_consts(n_bits, n_bits_ext, tuple(key))
+    return fn(
+        gl.from_u64(dbl(gl64.w(n_bits), n_bits)),
+        gl.from_u64(dbl(gl64.w(n_bits_ext), n_bits_ext)),
+        gl.from_u64(zh_pat),
+        gl.from_u64(np.asarray(roots or [0], dtype=np.uint64)),
+    )
+
+
+# ---------------------------------------------------------------------------
 # DEEP evals + xDivXSubXi executors (cached per machine)
 
 _EVALS_CACHE: dict = {}
@@ -234,28 +347,49 @@ class DeviceTree:
         return gl.to_u64(self.levels[-1])[0]
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_const_levels(height: int):
+    """Broadcast a (n_levels, 4) digest pair into the full level arrays of a
+    uniform (width-0, power-of-two) tree, entirely on device."""
+
+    def body(digests):
+        lo, hi = digests
+        out = []
+        n, l = height, 0
+        while n > 1:
+            out.append((jnp.broadcast_to(lo[l], (n, 4)),
+                        jnp.broadcast_to(hi[l], (n, 4))))
+            n //= 2
+            l += 1
+        out.append((lo[l : l + 1], hi[l : l + 1]))
+        return tuple(out)
+
+    return jax.jit(body)
+
+
 def merkelize(elements, width: int, height: int, split: bool = False) -> DeviceTree:
     """elements: (lo, hi) pair (height, width) on device."""
     if width == 0 and height & (height - 1) == 0:
         # degenerate tree over empty rows at power-of-two height: every
         # node of a level is the SAME digest (leaf digest = zero row, no
         # odd-padding breaks uniformity), so one pair-hash per level
-        # suffices — broadcast copies give the full levels bit-exactly
-        # (round-1 built these on the host: 2^21 Poseidons for a constant)
+        # suffices.  The per-level digests are a tiny host chain; the full
+        # broadcast levels materialize ON DEVICE in one jitted program —
+        # round 2 uploaded ~2·height·32 B of identical host bytes through
+        # the device tunnel, which alone cost seconds per empty stage.
         from ..hash import poseidon_gl
 
         z = np.zeros((height, 0), dtype=np.uint64)
-        digest = np.zeros(4, dtype=np.uint64)
-        levels = []
-        n = height
-        while n > 1:
-            pair = gl.from_u64(np.broadcast_to(digest, (n, 4)).copy())
-            levels.append(pair)
-            digest = poseidon_gl.hash_n(np.concatenate([digest, digest]))
-            n //= 2
-        levels.append(gl.from_u64(digest.reshape(1, 4)))
+        n_levels = height.bit_length()  # height = 2^k -> k+1 levels
+        digests = np.zeros((n_levels, 4), dtype=np.uint64)
+        for l in range(1, n_levels):
+            digests[l] = poseidon_gl.hash_n(
+                np.concatenate([digests[l - 1], digests[l - 1]])
+            )
+        levels = _jit_const_levels(height)(gl.from_u64(digests))
         return DeviceTree(
-            width=0, height=height, elements=gl.from_u64(z), levels=levels
+            width=0, height=height, elements=gl.from_u64(z),
+            levels=list(levels),
         )
     if width == 0:
         from ..hash import merkle as merkle_host
