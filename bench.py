@@ -43,6 +43,42 @@ HBM_BYTES_PER_S = 819e9  # v5e (TPU v5 lite) HBM bandwidth
 P = 0xFFFFFFFF00000001
 
 
+class CompileCounter:
+    """Counts XLA backend compilations inside a `with` block via the JAX
+    monitoring events — the recompilation guard: a warm pass that still
+    compiles shows up as nonzero `recompiles` in the metric record, so a
+    cache-key drift is attributable from BENCH_r*.json alone."""
+
+    def __init__(self):
+        self.count = 0
+        self.seconds = 0.0
+
+    def _listener(self, event, duration, **kw):
+        if "compile" in event:
+            self.count += 1
+            self.seconds += duration
+
+    def __enter__(self):
+        import jax
+
+        try:
+            jax.monitoring.register_event_duration_secs_listener(self._listener)
+            self._ok = True
+        except Exception:
+            self._ok = False
+        return self
+
+    def __exit__(self, *exc):
+        if self._ok:
+            try:
+                from jax._src import monitoring as _m
+
+                _m._unregister_event_duration_listener_by_callback(self._listener)
+            except Exception:
+                pass
+        return False
+
+
 def _emit(metric, value, unit, vs_baseline, **extra):
     rec = {
         "metric": metric,
@@ -218,12 +254,13 @@ def bench_prove():
         s["constTree"], (cm_cols.buffer, publics), backend="device",
     )
     cold = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    res = prover.prove(
-        s["starkInfo"], s["expressionsInfo"], const_cols.buffer,
-        s["constTree"], (cm_cols.buffer, publics), backend="device",
-    )
-    warm = time.perf_counter() - t0
+    with CompileCounter() as cc_warm:
+        t0 = time.perf_counter()
+        res = prover.prove(
+            s["starkInfo"], s["expressionsInfo"], const_cols.buffer,
+            s["constTree"], (cm_cols.buffer, publics), backend="device",
+        )
+        warm = time.perf_counter() - t0
     ok = verifier.verify(
         res["proof"], res["publics"], s["constRoot"], s["starkInfo"],
         s["verifierInfo"],
@@ -245,7 +282,13 @@ def bench_prove():
         f"stark_prove_fibonacci_2^{n_bits}_wall_s", warm, "s (warm)",
         roofline_s / warm / 0.70,
         cold_s=round(cold, 3), verified=bool(ok),
-        phases={k: round(v, 3) for k, v in sorted(phases.items(), key=lambda kv: -kv[1])[:6]},
+        # recompilation guard: a warm pass must hit the in-process jit
+        # caches; nonzero recompiles = cache-key drift (the round-2 18.3s
+        # regression would have been attributable from this field alone)
+        recompiles_warm=cc_warm.count,
+        recompile_s_warm=round(cc_warm.seconds, 2),
+        phases={k: round(v, 3) for k, v in sorted(phases.items(), key=lambda kv: -kv[1])},
+        unattributed_s=round(warm - sum(phases.values()), 3),
     )
 
 

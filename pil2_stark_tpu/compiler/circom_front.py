@@ -617,6 +617,7 @@ class Component:
         self.inputs_seen = 0
         self.ran = False
         self.interp = interp
+        interp.all_components.append(self)
         self.in_order = []  # input signal names in declaration order
         self.out_order = []
         self.decl_order = []  # all signal names in declaration order
@@ -662,6 +663,7 @@ class Interp:
         self.main = None
         self.signal_order = []  # allocation order (for remapping)
         self._fn_cache = {}  # (name, const args) -> result (functions are pure)
+        self.all_components = []  # every instantiation, for the final sweep
 
     # ---- signal allocation
 
@@ -755,6 +757,26 @@ class Interp:
                 raise KeyError(f"missing main input {name}")
             self._assign_input(comp.scope[name], input_values[name])
         self.run_body(comp)
+
+        # Elaborate any named component whose outputs were never read
+        # (e.g. a check-only sub-verifier with no output signals): circom
+        # runs a component once all its inputs are assigned; skipping it
+        # would silently drop every constraint it contributes.  Iterate to
+        # a fixpoint — running one body can instantiate/wire others.
+        while True:
+            pending = [c for c in self.all_components if not c.ran]
+            if not pending:
+                break
+            for compo in pending:
+                flat = []
+                for n in compo.in_order:
+                    flat.extend(_flatten_sig(compo.scope[n]))
+                if not all(s.assigned for s in flat):
+                    raise RuntimeError(
+                        f"component {compo.tname} instantiated but its "
+                        f"inputs were never fully wired"
+                    )
+                self.run_body(compo)
 
         # remap publics to 1..nPub
         pub_names = main["publics"]

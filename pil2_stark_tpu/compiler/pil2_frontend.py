@@ -787,7 +787,14 @@ def _enc_operand(op: dict) -> bytes:
     elif kind == "challenge":
         inner = _enc_tag(1, 0) + _enc_varint(body["stage"]) + _enc_tag(2, 0) + _enc_varint(body["idx"])
     elif kind in ("proofValue", "publicValue", "subproofValue", "expression"):
-        inner = _enc_tag(1, 0) + _enc_varint(body["idx"])
+        if kind == "subproofValue" and "subproofId" in body:
+            # GlobalOperand.subproofValue = {1 subproofId, 2 idx}
+            inner = (
+                _enc_tag(1, 0) + _enc_varint(body["subproofId"])
+                + _enc_tag(2, 0) + _enc_varint(body["idx"])
+            )
+        else:
+            inner = _enc_tag(1, 0) + _enc_varint(body["idx"])
     elif kind in ("fixedCol", "periodicCol"):
         inner = _enc_tag(1, 0) + _enc_varint(body["idx"])
         if body.get("rowOffset"):

@@ -348,6 +348,20 @@ class DeviceTree:
 
 
 @functools.lru_cache(maxsize=None)
+def _zero_digest_chain(height: int) -> np.ndarray:
+    """Per-level digests of the all-zero-leaf tree (constant per height)."""
+    from ..hash import poseidon_gl
+
+    n_levels = height.bit_length()  # height = 2^k -> k+1 levels
+    digests = np.zeros((n_levels, 4), dtype=np.uint64)
+    for l in range(1, n_levels):
+        digests[l] = poseidon_gl.hash_n(
+            np.concatenate([digests[l - 1], digests[l - 1]])
+        )
+    return digests
+
+
+@functools.lru_cache(maxsize=None)
 def _jit_const_levels(height: int):
     """Broadcast a (n_levels, 4) digest pair into the full level arrays of a
     uniform (width-0, power-of-two) tree, entirely on device."""
@@ -377,16 +391,8 @@ def merkelize(elements, width: int, height: int, split: bool = False) -> DeviceT
         # broadcast levels materialize ON DEVICE in one jitted program —
         # round 2 uploaded ~2·height·32 B of identical host bytes through
         # the device tunnel, which alone cost seconds per empty stage.
-        from ..hash import poseidon_gl
-
         z = np.zeros((height, 0), dtype=np.uint64)
-        n_levels = height.bit_length()  # height = 2^k -> k+1 levels
-        digests = np.zeros((n_levels, 4), dtype=np.uint64)
-        for l in range(1, n_levels):
-            digests[l] = poseidon_gl.hash_n(
-                np.concatenate([digests[l - 1], digests[l - 1]])
-            )
-        levels = _jit_const_levels(height)(gl.from_u64(digests))
+        levels = _jit_const_levels(height)(gl.from_u64(_zero_digest_chain(height)))
         return DeviceTree(
             width=0, height=height, elements=gl.from_u64(z),
             levels=list(levels),

@@ -26,7 +26,7 @@ from .context import ProverCtx
 from .fri import FRI
 
 
-def prove(pil_info, expressions_info, const_pols, const_tree, inputs, debug=False, split_linear_hash=False, backend="numpy", logger=None, mesh=None, profile_dir=None):
+def prove(pil_info, expressions_info, const_pols, const_tree, inputs, debug=False, split_linear_hash=False, backend="numpy", logger=None, mesh=None, profile_dir=None, external_challenges=None):
     """proofGen (prover.js:7-131).  Returns {proof, publics, challenges,
     challengesFRISteps} or, in debug mode, the list of constraint errors.
 
@@ -66,14 +66,24 @@ def prove(pil_info, expressions_info, const_pols, const_tree, inputs, debug=Fals
             return prove(pil_info, expressions_info, const_pols,
                          const_tree, inputs, debug=debug,
                          split_linear_hash=split_linear_hash,
-                         backend=backend, logger=logger, mesh=mesh)
+                         backend=backend, logger=logger, mesh=mesh,
+                         external_challenges=external_challenges)
 
-    ctx = ProverCtx(
-        pil_info, expressions_info, const_pols, const_tree, debug=debug,
-        backend=backend, mesh=mesh,
-    )
     timer = PhaseTimer(logger)
+    with timer.phase("init"):
+        ctx = ProverCtx(
+            pil_info, expressions_info, const_pols, const_tree, debug=debug,
+            backend=backend, mesh=mesh,
+        )
     ctx.timer = timer
+    # vadcop coordinated challenges (main_prover.js --vadcopchallenges):
+    # when the proof participates in a multi-subproof aggregation, every
+    # subproof must see the SAME stage challenges (the gsum/gprod
+    # arguments cancel across subproofs only under shared randomness), so
+    # an outer orchestrator supplies them instead of this proof's own
+    # transcript.  {"stages": [[(3-tuple), ...] per stage 1..nStages+3],
+    # "friSteps": [...] one per FRI step + the query challenge}.
+    ctx.external_challenges = external_challenges
 
     cm1_values, publics_inputs = inputs
     n_cm1 = sum(1 for c in pil_info["cmPolsMap"] if c["stage"] == 1)
@@ -140,7 +150,10 @@ def prove(pil_info, expressions_info, const_pols, const_tree, inputs, debug=Fals
 
     n_steps = len(pil_info["starkStruct"]["steps"])
     for step in range(n_steps):
-        challenge = ctx.transcript.get_field()
+        if external_challenges is not None:
+            challenge = tuple(int(x) for x in external_challenges["friSteps"][step])
+        else:
+            challenge = ctx.transcript.get_field()
         ctx.challenges_fri_steps.append(challenge)
         with timer.phase(f"friFold{step}"):
             fold = fri.fold(step, ctx.fri_pol[step], challenge)
@@ -156,14 +169,20 @@ def prove(pil_info, expressions_info, const_pols, const_tree, inputs, debug=Fals
                 commits = [vf3.to_scalar(v) for v in ctx.fri_pol[step + 1]]
         _add_transcript(ctx.transcript, commits)
 
-    challenge_queries = ctx.transcript.get_field()
+    if external_challenges is not None:
+        challenge_queries = tuple(
+            int(x) for x in external_challenges["friSteps"][n_steps]
+        )
+    else:
+        challenge_queries = ctx.transcript.get_field()
     ctx.challenges_fri_steps.append(challenge_queries)
 
     fri_queries = _get_permutations(ctx, challenge_queries)
 
     fri_proof_list = [ctx.fri_proof[s] for s in range(n_steps + 1)]
     fri_trees_list = [ctx.fri_trees[s] for s in range(n_steps)]
-    fri.proof_queries(fri_proof_list, fri_trees_list, fri_queries)
+    with timer.phase("queries"):
+        fri.proof_queries(fri_proof_list, fri_trees_list, fri_queries)
 
     proof = {
         "evals": ctx.evals,
@@ -196,11 +215,18 @@ def _set_challenges(stage, ctx, challenge, rng):
     while len(ctx.challenges) < stage:
         ctx.challenges.append([])
     ctx.challenges[stage - 1] = []
-    for i in range(n):
-        if i > 0 or not challenge:
-            ctx.challenges[stage - 1].append(ctx.transcript.get_field())
-        else:
-            ctx.challenges[stage - 1].append(challenge)
+    ext = getattr(ctx, "external_challenges", None)
+    if ext is not None:
+        ctx.challenges[stage - 1] = [
+            tuple(int(x) for x in c) for c in ext["stages"][stage - 1]
+        ]
+        assert len(ctx.challenges[stage - 1]) == n, (stage, n)
+    else:
+        for i in range(n):
+            if i > 0 or not challenge:
+                ctx.challenges[stage - 1].append(ctx.transcript.get_field())
+            else:
+                ctx.challenges[stage - 1].append(challenge)
     q_stage = ctx.pil_info["nStages"] + 1
     if stage < q_stage:
         for i, c in enumerate(ctx.pil_info["challengesMap"]):
@@ -287,8 +313,12 @@ def _extend_and_merkelize(stage, ctx):
     buff_from = ctx.buffers[f"cm{stage}_n"]
     n_pols = ctx.pil_info["mapSectionsN"][f"cm{stage}"]
     if ctx.device:
-        # one witness upload; LDE + full tree build stay on device
+        # one witness upload; LDE + full tree build stay on device.  The
+        # "n"-domain pair is kept for later TAC programs (the q-1 imPols
+        # executor reads every committed stage — without this cache each
+        # stage section re-rode the host->device transport per program)
         dev_n = _jgl.from_u64(buff_from)
+        ctx.dsections["n"][f"cm{stage}"] = dev_n
         if ctx.mesh is not None:
             ext, tree = _extend_and_merkelize_sharded(ctx, dev_n, n_pols)
         else:

@@ -111,3 +111,68 @@ def test_prove_on_2d_mesh_bit_equal(mesh2d):
         res_mesh["proof"], res_mesh["publics"], s["constRoot"],
         s["starkInfo"], s["verifierInfo"],
     )
+
+
+@pytest.mark.slow
+def test_prove_gadgets_on_2d_mesh_bit_equal(mesh2d):
+    """Hint-bearing machine (plookup h1h2 + permutation/connection grand
+    products + fibonacci) proven ON THE MESH at nBits=12, bit-equal to the
+    host prover — covers the hint-column upload path and multi-stage
+    commits under sharding (VERDICT r2 item 6).  FRI runs replicated by
+    design: its domains shrink geometrically (2^13 -> 2^4 here), so the
+    replicated fold costs < 1/blowup of ONE stage LDE and sharding it
+    would be all communication."""
+    import json
+
+    from pil2_stark_tpu.compiler import pil1_parser
+    from pil2_stark_tpu.models import gadgets, fibonacci
+    from pil2_stark_tpu.stark import witness, setup as stark_setup, prover, verifier
+
+    n_bits = 12
+    n = 1 << n_bits
+    pil = pil1_parser.compile_pil_source(gadgets.all_source(n_bits))
+    pil["name"] = "all"
+    const_cols = witness.generate_fixed_cols(pil["references"], n)
+    cm_cols = witness.generate_wtns_cols(pil["references"], n)
+    gadgets.build_global_constants(n, const_cols.Global)
+    gadgets.build_plookup_constants(n, const_cols.Plookup)
+    gadgets.execute_plookup(n, cm_cols.Plookup)
+    gadgets.execute_permutation(n, cm_cols.Permutation)
+    gadgets.build_connection_constants(n, const_cols.Connection)
+    gadgets.execute_connection(n, cm_cols.Connection)
+    fibonacci.build_constants(n, const_cols.Fibonacci)
+    out = fibonacci.execute(n, cm_cols.Fibonacci, [1, 2])
+    publics = [1, 2, out]
+    ss = {
+        "nBits": n_bits, "nBitsExt": n_bits + 1, "nQueries": 8,
+        "verificationHashType": "GL",
+        "steps": [{"nBits": n_bits + 1}, {"nBits": 8}, {"nBits": 4}],
+    }
+    s = stark_setup.stark_setup(const_cols.buffer, pil, ss)
+
+    res_mesh = prover.prove(
+        s["starkInfo"], s["expressionsInfo"], const_cols.buffer,
+        s["constTree"], (cm_cols.buffer, publics), backend="device",
+        mesh=mesh2d,
+    )
+    res_host = prover.prove(
+        s["starkInfo"], s["expressionsInfo"], const_cols.buffer,
+        s["constTree"], (cm_cols.buffer, publics), backend="numpy",
+    )
+    assert json.dumps(_canon(res_mesh["proof"])) == json.dumps(_canon(res_host["proof"]))
+    assert verifier.verify(
+        res_mesh["proof"], res_mesh["publics"], s["constRoot"],
+        s["starkInfo"], s["verifierInfo"],
+    )
+
+
+def _canon(o):
+    if isinstance(o, np.ndarray):
+        return [_canon(x) for x in o.tolist()]
+    if isinstance(o, (list, tuple)):
+        return [_canon(x) for x in o]
+    if isinstance(o, dict):
+        return {k: _canon(v) for k, v in o.items()}
+    if isinstance(o, (int, np.integer)):
+        return int(o)
+    return o
