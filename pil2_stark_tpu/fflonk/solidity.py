@@ -157,6 +157,9 @@ class _Emit:
     def __init__(self):
         self.stmts = []
         self.n_slots = 0
+        # structured twin of stmts, consumed by fflonk/evm.py's bytecode
+        # compiler (the in-repo "solc" for this restricted language)
+        self.ops = []
 
     def _slot(self):
         s = self.n_slots
@@ -172,26 +175,31 @@ class _Emit:
     def mul(self, a, b):
         d = self._slot()
         self.stmts.append(f"{d} = mulmod({a}, {b}, q);")
+        self.ops.append(("mul", d, a, b))
         return d
 
     def add(self, a, b):
         d = self._slot()
         self.stmts.append(f"{d} = addmod({a}, {b}, q);")
+        self.ops.append(("add", d, a, b))
         return d
 
     def sub(self, a, b):
         d = self._slot()
         self.stmts.append(f"{d} = addmod({a}, q - ({b}), q);")
+        self.ops.append(("sub", d, a, b))
         return d
 
     def expmod(self, b, e):
         d = self._slot()
         self.stmts.append(f"{d} = expmod({b}, {e});")
+        self.ops.append(("expmod", d, b, e))
         return d
 
     def inv(self, a):
         d = self._slot()
         self.stmts.append(f"{d} = inv({a});")
+        self.ops.append(("inv", d, a))
         return d
 
     def hash_fr(self, parts):
@@ -200,28 +208,34 @@ class _Emit:
         # rejects untyped literals inside abi.encodePacked)
         packed = ", ".join(f"uint256({p})" for p in parts)
         self.stmts.append(f"{d} = hashToFr(abi.encodePacked({packed}));")
+        self.ops.append(("hash", d, list(parts)))
         return d
 
     def ec_mul(self, pt, s):
         x, y = self._slot(), self._slot()
         self.stmts.append(f"({x}, {y}) = ecMul({pt[0]}, {pt[1]}, {s});")
+        self.ops.append(("ecmul", x, y, pt[0], pt[1], s))
         return (x, y)
 
     def ec_add(self, a, b):
         x, y = self._slot(), self._slot()
         self.stmts.append(f"({x}, {y}) = ecAdd({a[0]}, {a[1]}, {b[0]}, {b[1]});")
+        self.ops.append(("ecadd", x, y, a[0], a[1], b[0], b[1]))
         return (x, y)
 
     def neg_y(self, pt):
         y = self._slot()
         self.stmts.append(f"{y} = negY({pt[1]});")
+        self.ops.append(("negy", y, pt[1]))
         return (pt[0], y)
 
     def check_eq(self, a, b, label):
         self.stmts.append(f"if ({a} != {b}) return false; // {label}")
+        self.ops.append(("check_eq", a, b))
 
     def check_fr_range(self, expr):
         self.stmts.append(f"if ({expr} >= q) return false; // Fr range")
+        self.ops.append(("check_range", expr))
 
 
 def _transcript_challenge(em, buf):
@@ -231,7 +245,8 @@ def _transcript_challenge(em, buf):
     return c, [c]
 
 
-def export_pilfflonk_verifier(vk, fflonk_info, verifier_info) -> str:
+def export_pilfflonk_verifier(vk, fflonk_info, verifier_info,
+                              return_ops: bool = False):
     """Generate the complete Solidity verifier contract text.
 
     Mirrors fflonk/verifier.py statement by statement: transcript
@@ -447,15 +462,19 @@ def export_pilfflonk_verifier(vk, fflonk_info, verifier_info) -> str:
     x2 = vk["X_2"]
     # our G2 points are ((x_c0, x_c1), (y_c0, y_c1)); EIP-197 wants c1, c0
     x2_words = (int(x2[0][1]), int(x2[0][0]), int(x2[1][1]), int(x2[1][0]))
-    em.raw(
-        "return pairingCheck("
-        f"{lhs[0]}, {lhs[1]}, {_G2_EIP197[0]}, {_G2_EIP197[1]}, "
-        f"{_G2_EIP197[2]}, {_G2_EIP197[3]}, "
-        f"{w2_neg[0]}, {w2_neg[1]}, {x2_words[0]}, {x2_words[1]}, "
-        f"{x2_words[2]}, {x2_words[3]});"
-    )
+    pairing_args = [
+        lhs[0], lhs[1], str(_G2_EIP197[0]), str(_G2_EIP197[1]),
+        str(_G2_EIP197[2]), str(_G2_EIP197[3]),
+        w2_neg[0], w2_neg[1], str(x2_words[0]), str(x2_words[1]),
+        str(x2_words[2]), str(x2_words[3]),
+    ]
+    em.raw("return pairingCheck(" + ", ".join(pairing_args) + ");")
+    em.ops.append(("pairing_ret", pairing_args))
 
-    return _render_contract(em, n_words, n_publics)
+    text = _render_contract(em, n_words, n_publics)
+    if return_ops:
+        return text, em, n_words, n_publics
+    return text
 
 
 def _emit_tac(em, code, ev_exprs, challenges, publics, xi):

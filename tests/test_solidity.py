@@ -288,3 +288,82 @@ def test_contract_structure(chain, contract):
         assert str(int(w)) in contract
     # braces balance (cheap syntax sanity)
     assert contract.count("{") == contract.count("}")
+
+
+# ---------------------------------------------------------------------------
+# real EVM semantics: the contract compiled to bytecode (fflonk/evm.py)
+# and executed as a stack machine with calldata ABI, memory-expansion and
+# precompile gas — the in-repo equivalent of the reference's hardhat
+# deployment tests (/root/reference/smart_contract_tests/)
+
+
+def _proof_words(vk, proof):
+    calldata = sol.export_calldata(vk, proof["proof"], proof["publics"])
+    arrays = json.loads(f"[{calldata}]")
+    return [int(w, 16) for w in arrays[0]]
+
+
+def test_evm_bytecode_accepts_real_proof(chain):
+    from pil2_stark_tpu.fflonk import evm
+
+    info, vk, res = chain
+    words = _proof_words(vk, res)
+    ok, gas = evm.run_verifier(
+        vk, info["pilInfo"], info["verifierInfo"], words,
+        [int(p) % FR for p in res["publics"]],
+    )
+    assert ok is True
+    assert 0 < gas < 100_000_000  # sane gas figure, precompiles included
+
+
+def test_evm_bytecode_rejects_corrupted_calldata(chain):
+    from pil2_stark_tpu.fflonk import evm
+
+    info, vk, res = chain
+    words = _proof_words(vk, res)
+    publics = [int(p) % FR for p in res["publics"]]
+    for idx in (0, len(words) - 3):
+        bad = list(words)
+        bad[idx] = (bad[idx] + 1) % FR
+        ok, _ = evm.run_verifier(
+            vk, info["pilInfo"], info["verifierInfo"], bad, publics
+        )
+        assert ok is False, f"corrupted word {idx} accepted"
+    # wrong public input
+    bad_pubs = list(publics)
+    bad_pubs[0] = (bad_pubs[0] + 1) % FR
+    ok, _ = evm.run_verifier(
+        vk, info["pilInfo"], info["verifierInfo"], words, bad_pubs
+    )
+    assert ok is False
+
+
+def test_evm_bytecode_range_check_rejects_oversized_word(chain):
+    from pil2_stark_tpu.fflonk import evm
+
+    info, vk, res = chain
+    words = _proof_words(vk, res)
+    publics = [int(p) % FR for p in res["publics"]]
+    bad = list(words)
+    bad[-1] = FR  # == q, must fail the Fr range check
+    ok, gas = evm.run_verifier(
+        vk, info["pilInfo"], info["verifierInfo"], bad, publics
+    )
+    assert ok is False
+
+
+def test_evm_matches_statement_evaluator(chain):
+    """The bytecode path and the statement evaluator agree on accept."""
+    from pil2_stark_tpu.fflonk import evm
+
+    info, vk, res = chain
+    contract = sol.export_pilfflonk_verifier(
+        vk, info["pilInfo"], info["verifierInfo"]
+    )
+    words = _proof_words(vk, res)
+    publics = [int(p) % FR for p in res["publics"]]
+    assert SolRun(contract, words, publics).run() is True
+    ok, _ = evm.run_verifier(
+        vk, info["pilInfo"], info["verifierInfo"], words, publics
+    )
+    assert ok is True
