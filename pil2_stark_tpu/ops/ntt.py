@@ -271,11 +271,72 @@ def _tw_args(bits: int, inverse: bool):
     )
 
 
+# ---------------------------------------------------------------------------
+# planar (column-major) four-step: the TPU fast path
+#
+# Data rides as (C, N) — columns in sublanes, the domain in lanes — so the
+# whole level runs as ONE VMEM kernel (butterflies + w^{o1·i2} twiddle +
+# inter-level transpose, pallas_ntt.level_planar) and step 2 as a second
+# kernel (pallas_ntt.base_grid), with one row-gather (bit-reverse) before
+# each: 4 HBM sweeps per transform instead of one per butterfly stage.
+# The reference's equivalent structure is the blocked fft_p.js pipeline
+# (fft_block / transpose passes); here each pass is a fused TPU kernel.
+
+
+def _planar_ok(bits: int) -> bool:
+    if _FORCE_PALLAS_BASE is not None:
+        enabled = _FORCE_PALLAS_BASE
+    else:
+        enabled = _pallas_base_enabled()
+    return enabled and pallas_ntt.planar_supported(bits, _split_bits(bits))
+
+
+def _planar_ntt(xp, bits: int, n_cols: int, inverse: bool, tw_iter=None):
+    """NTT along axis 1 of a (C, N) planar pair (natural order in/out)."""
+    bits1 = _split_bits(bits)
+    bits2 = bits - bits1
+    n1, n2 = 1 << bits1, 1 << bits2
+
+    if bits > _TWIDDLE_ARG_BITS and tw_iter is not None:
+        tlo, thi = next(tw_iter)
+    else:
+        tlo, thi = (jnp.asarray(a) for a in _twiddle_consts(bits, bits1, inverse))
+
+    # entry relayout (one pass, fused with the bit-reverse row gather):
+    # (C, n1, n2) -> (n1, C·n2) with i1 bit-reversed
+    rev1 = jnp.asarray(bit_reverse_indices(bits1))
+    x_lo = jnp.moveaxis(xp[0].reshape(n_cols, n1, n2), 1, 0).reshape(n1, n_cols * n2)
+    x_hi = jnp.moveaxis(xp[1].reshape(n_cols, n1, n2), 1, 0).reshape(n1, n_cols * n2)
+    x_lo = jnp.take(x_lo, rev1, axis=0)
+    x_hi = jnp.take(x_hi, rev1, axis=0)
+
+    y = pallas_ntt.level_planar(
+        (x_lo, x_hi), bits1, n2, n_cols, (tlo, thi), inverse
+    )  # (C·n2, n1), rows (c, i2)
+
+    # step-2 bit-reverse within each column batch (one gather pass)
+    rev2 = bit_reverse_indices(bits2)
+    full_idx = jnp.asarray(
+        np.add.outer(
+            np.arange(n_cols, dtype=np.uint32) * n2, rev2
+        ).reshape(-1)
+    )
+    z_in = (jnp.take(y[0], full_idx, axis=0), jnp.take(y[1], full_idx, axis=0))
+    z = pallas_ntt.base_grid(z_in, bits2, n_cols, inverse)
+    # rows (c, o2), lanes o1: per column the flat index is o2·n1 + o1
+    return (z[0].reshape(n_cols, 1 << bits), z[1].reshape(n_cols, 1 << bits))
+
+
 @functools.lru_cache(maxsize=None)
 def _jit_ntt(bits: int):
     fwd_tw = _tw_args(bits, False)
 
     def body(x, tws):
+        if _planar_ok(bits):
+            c = x[0].shape[1]
+            xp = (x[0].T, x[1].T)
+            y = _planar_ntt(xp, bits, c, False, iter(tws))
+            return (y[0].T, y[1].T)
         return _axis0_ntt(x, bits, False, iter(tws))
 
     fn = jax.jit(body)
@@ -289,6 +350,12 @@ def _jit_intt(bits: int):
     inv_tw = _tw_args(bits, True)
 
     def body(x, tws):
+        if _planar_ok(bits):
+            c = x[0].shape[1]
+            xp = (x[0].T, x[1].T)
+            y = _planar_ntt(xp, bits, c, True, iter(tws))
+            y = gl.mul_const(y, n_inv)
+            return (y[0].T, y[1].T)
         y = _axis0_ntt(x, bits, True, iter(tws))
         return gl.mul_const(y, n_inv)
 
@@ -312,8 +379,19 @@ def _jit_lde(bits: int, ext_bits: int, shift: int):
     fwd_tw = _tw_args(ext_bits, False)
 
     def body(x, tws_i, tws_f, sp):
-        coefs = _axis0_ntt(x, bits, True, iter(tws_i))
         s = sp_const if sp_small else sp
+        if _planar_ok(bits) and _planar_ok(ext_bits):
+            # planar end-to-end: transpose once in, once out; the scale
+            # and zero-pad ride the lane axis between the two transforms
+            c = x[0].shape[1]
+            xp = (x[0].T, x[1].T)
+            coefs = _planar_ntt(xp, bits, c, True, iter(tws_i))
+            coefs = gl.mul((s[0][None, :], s[1][None, :]), coefs)
+            pad = ((0, 0), (0, (1 << ext_bits) - n))
+            padded = (jnp.pad(coefs[0], pad), jnp.pad(coefs[1], pad))
+            y = _planar_ntt(padded, ext_bits, c, False, iter(tws_f))
+            return (y[0].T, y[1].T)
+        coefs = _axis0_ntt(x, bits, True, iter(tws_i))
         coefs = gl.mul((s[0][:, None], s[1][:, None]), coefs)
         pad = ((0, (1 << ext_bits) - n), (0, 0))
         padded = (jnp.pad(coefs[0], pad), jnp.pad(coefs[1], pad))

@@ -127,6 +127,142 @@ def profitable(bits: int, b: int) -> bool:
     return supported(bits, b) and bits >= 11 and b >= 2048
 
 
+def _butterflies(tw_ref, lo, hi, bits: int):
+    n = 1 << bits
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    for s in range(1, bits + 1):
+        half = 1 << (s - 1)
+        tlo = tw_ref[:, 2 * (s - 1)].reshape(n, 1)
+        thi = tw_ref[:, 2 * (s - 1) + 1].reshape(n, 1)
+        plo, phi = gl.mul((tlo, thi), (lo, hi))
+        is_v = (row & half) != 0
+        alo, ahi = gl.add((lo, hi), (_roll(plo, -half), _roll(phi, -half)))
+        blo, bhi = gl.sub((_roll(lo, half), _roll(hi, half)), (plo, phi))
+        lo = jnp.where(is_v, blo, alo)
+        hi = jnp.where(is_v, bhi, ahi)
+    return lo, hi
+
+
+# ---------------------------------------------------------------------------
+# planar four-step level kernels (ops/ntt.py planar path)
+#
+# Data rides COLUMN-MAJOR: lanes of a step-1 block are (c fixed, i2 tile),
+# so the (n1, n2) level-twiddle table tiles directly (no lane interleaving
+# to expand) and the inter-level transpose is a clean 2D (n1, 128) ->
+# (128, n1) relayout inside VMEM.  One HBM read + one write per level.
+
+
+def _make_level_planar_kernel(bits: int):
+    n = 1 << bits
+
+    def kernel(tw_ref, lt_ref, ht_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
+        lo, hi = _butterflies(tw_ref, lo_ref[:], hi_ref[:], bits)
+        # level twiddle w^{o1·i2}: (n1, 128) slice of the (n1, n2) table
+        lo, hi = gl.mul((lo, hi), (lt_ref[:], ht_ref[:]))
+        # inter-level transpose (n1, 128) -> (128, n1)
+        out_lo_ref[:] = jnp.transpose(lo, (1, 0))
+        out_hi_ref[:] = jnp.transpose(hi, (1, 0))
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_level_planar(bits: int, n_blocks: int, n2_tiles: int,
+                         interpret: bool):
+    """grid i over all (C·n2)/128 lane tiles of the (n1, C·n2) input; the
+    twiddle block index wraps per column (i % n2_tiles)."""
+    n = 1 << bits
+    data_spec = pl.BlockSpec((n, _TILE), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    tw_spec = pl.BlockSpec((n, 2 * bits), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    lvl_spec = pl.BlockSpec((n, _TILE), lambda i: (0, i % n2_tiles),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((_TILE, n), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_level_planar_kernel(bits),
+        grid=(n_blocks,),
+        in_specs=[tw_spec, lvl_spec, lvl_spec, data_spec, data_spec],
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks * _TILE, n), jnp.uint32),
+            jax.ShapeDtypeStruct((n_blocks * _TILE, n), jnp.uint32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+
+
+def level_planar(x_brev, bits1: int, n2: int, n_cols: int, level_tw,
+                 inverse: bool, interpret: bool | None = None):
+    """Fused step-1 of a four-step level on column-major data: butterflies
+    over the bit-reversed (n1, C·n2) pair + w^{o1·i2} twiddle + transpose
+    to (C·n2, n1) (rows (c, i2) c-major)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tw = jnp.asarray(_stage_twiddles(bits1, inverse))
+    n_blocks = (n_cols * n2) // _TILE
+    fn = _pallas_level_planar(bits1, n_blocks, n2 // _TILE, interpret)
+    return tuple(fn(tw, level_tw[0], level_tw[1], x_brev[0], x_brev[1]))
+
+
+def _make_base_grid_kernel(bits: int):
+    def kernel(tw_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
+        lo, hi = _butterflies(tw_ref, lo_ref[:], hi_ref[:], bits)
+        out_lo_ref[:] = lo
+        out_hi_ref[:] = hi
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_base_grid(bits: int, n_cols: int, n1_tiles: int, interpret: bool):
+    """Step-2 base: 2D grid (c, o1 tile) over a (C·n2, n1) array; each
+    block is the (n2, 128) slice of one column batch."""
+    n = 1 << bits
+    data_spec = pl.BlockSpec((n, _TILE), lambda c, j: (c, j),
+                             memory_space=pltpu.VMEM)
+    tw_spec = pl.BlockSpec((n, 2 * bits), lambda c, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_base_grid_kernel(bits),
+        grid=(n_cols, n1_tiles),
+        in_specs=[tw_spec, data_spec, data_spec],
+        out_specs=[data_spec, data_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_cols * n, n1_tiles * _TILE), jnp.uint32),
+            jax.ShapeDtypeStruct((n_cols * n, n1_tiles * _TILE), jnp.uint32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+
+
+def base_grid(x_brev, bits2: int, n_cols: int, inverse: bool,
+              interpret: bool | None = None):
+    """Per-column base transform along sublanes of a (C·n2, n1) pair whose
+    rows are bit-reversed within each column batch."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tw = jnp.asarray(_stage_twiddles(bits2, inverse))
+    n1 = x_brev[0].shape[1]
+    fn = _pallas_base_grid(bits2, n_cols, n1 // _TILE, interpret)
+    return tuple(fn(tw, x_brev[0], x_brev[1]))
+
+
+def planar_supported(bits: int, bits1: int) -> bool:
+    """Planar four-step path: one fused level + a grid base.  Needs both
+    factors tileable: n2 % 128 == 0 (level twiddle blocks + step-2
+    sublanes) and n1 % 128 == 0 (step-2 lane tiles)."""
+    bits2 = bits - bits1
+    return 3 <= bits1 <= 12 and 7 <= bits2 <= 12 and bits1 >= 7
+
+
 def base_ntt_brev(x, bits: int, inverse: bool, interpret: bool | None = None):
     """DIT butterfly network on bit-reverse-permuted input (natural-order
     output) along axis 0 of a (n, B) limb pair.  Callers own the bitrev.

@@ -265,9 +265,13 @@ def make_evals_executor(pil_info, stride: int, n_bits: int):
         lev_list = []
         for o in range(len(openings)):
             series = _f3_geometric_traced(pows2, o, n_bits)  # (3, N)
-            coefs = ntt_ops._axis0_ntt(
-                (series[0].T, series[1].T), n_bits, True
-            )
+            if ntt_ops._planar_ok(n_bits):
+                cp = ntt_ops._planar_ntt(series, n_bits, 3, True)
+                coefs = (cp[0].T, cp[1].T)
+            else:
+                coefs = ntt_ops._axis0_ntt(
+                    (series[0].T, series[1].T), n_bits, True
+                )
             lev_list.append(gl.mul_const(coefs, n_inv))  # (N, 3)
 
         out_lo, out_hi = [], []

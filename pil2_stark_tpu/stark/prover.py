@@ -425,10 +425,30 @@ def _jit_q_split(n_bits_ext: int, n_bits: int, q_dim: int, q_deg: int, shift_in:
     sp_lo = (sp & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     sp_hi = (sp >> np.uint64(32)).astype(np.uint32)
 
+    n_inv = pow(ext_n, gl64.P_INT - 2, gl64.P_INT)
+
     def body(dq):
+        if ntt_ops._planar_ok(n_bits_ext):
+            # dq is (qDim, extN) — already planar: iNTT along lanes,
+            # split/scale in planar form, NTT back; ONE transpose at the
+            # end for the tree-leaf row layout
+            qq1 = ntt_ops._planar_ntt(dq, n_bits_ext, q_dim, True)
+            qq1 = _jgl.mul_const(qq1, n_inv)
+            lo = qq1[0][:, : q_deg * n].reshape(q_dim, q_deg, n)
+            hi = qq1[1][:, : q_deg * n].reshape(q_dim, q_deg, n)
+            lo, hi = _jgl.mul(
+                (lo, hi), (sp_lo[None, :, None], sp_hi[None, :, None])
+            )
+            lo = jnp.moveaxis(lo, 0, 1).reshape(q_deg * q_dim, n)
+            hi = jnp.moveaxis(hi, 0, 1).reshape(q_deg * q_dim, n)
+            pad = ((0, 0), (0, ext_n - n))
+            y = ntt_ops._planar_ntt(
+                (jnp.pad(lo, pad), jnp.pad(hi, pad)),
+                n_bits_ext, q_deg * q_dim, False,
+            )
+            return (y[0].T, y[1].T)
         # (qDim, extN) -> (extN, qDim) for the axis-0 NTT
         qq1 = ntt_ops._axis0_ntt((dq[0].T, dq[1].T), n_bits_ext, True)
-        n_inv = pow(ext_n, gl64.P_INT - 2, gl64.P_INT)
         qq1 = _jgl.mul_const(qq1, n_inv)
         # qq2[i, p*qDim + k] = qq1[p*N + i, k] * shiftIn^p  (rows >= qDeg*N
         # of qq1 are zero by the degree bound and are dropped)
