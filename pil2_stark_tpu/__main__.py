@@ -99,6 +99,22 @@ def cmd_genstarkinfo(args):
     print(f"wrote {args.starkinfo}, {args.expressionsinfo}, {args.verifierinfo}")
 
 
+def cmd_buildchelpers(args):
+    """main_buildchelpers.js equivalent: emit the .chelpers.bin artifact
+    (binary TAC streams for the reference's external C++ prover)."""
+    from .compiler.chelpers_bin import write_chelpers_file
+    from .compiler.pilinfo import pil_info
+
+    pil, pil2 = _compile_pil(args)
+    ss = _stark_struct(args)
+    out = pil_info(pil, stark=True, stark_struct=ss, pil2=pil2)
+    built = write_chelpers_file(args.chelpers, out["pilInfo"],
+                                out["expressionsInfo"])
+    print(f"wrote {args.chelpers} ({len(built['opsUsed'])} ops used, "
+          f"{len(built['expsInfo'])} expressions, "
+          f"{len(built['constraintsInfo'])} constraints)")
+
+
 def cmd_prove(args):
     from .models import fibonacci
     from .stark import witness, setup, prover
@@ -675,6 +691,11 @@ def main(argv=None):
     sp.add_argument("--expressionsinfo", default="expressionsinfo.json")
     sp.add_argument("--verifierinfo", default="verifierinfo.json")
     sp.set_defaults(fn=cmd_genstarkinfo)
+
+    sp = sub.add_parser("buildchelpers")
+    common(sp)
+    sp.add_argument("--chelpers", default="machine.chelpers.bin")
+    sp.set_defaults(fn=cmd_buildchelpers)
 
     sp = sub.add_parser("preparepil")
     common(sp)

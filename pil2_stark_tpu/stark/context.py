@@ -50,8 +50,11 @@ class ProverCtx:
             w = pil_info["mapSectionsN"][f"cm{stage}"]
             self.buffers[f"cm{stage}_n"] = np.zeros((self.N, w), dtype=np.uint64)
 
-        # x_n = powers of w
-        self.x_n = gl64.powers(gl64.w(self.n_bits), self.N)
+        # x_n / x_ext host power tables are LAZY: the device backend
+        # builds its own on-chip (device.domain_consts) and never touches
+        # these, and the host log-doubling over 2^20+ rows costs seconds
+        self._x_n = None
+        self._x_ext = None
 
         for i in range(n_constants):
             self.calculated["const"][i] = True
@@ -72,10 +75,6 @@ class ProverCtx:
                     self.buffers[f"cm{stage}_ext"] = np.zeros((self.ext_N, w), dtype=np.uint64)
                 self.q_ext = np.zeros((self.ext_N, pil_info["qDim"]), dtype=np.uint64)
                 self.f_ext = np.zeros((self.ext_N, 3), dtype=np.uint64)
-            self.x_ext = gl64.mul(
-                np.uint64(gl64.SHIFT_INT),
-                gl64.powers(gl64.w(self.n_bits_ext), self.ext_N),
-            )
 
             boundaries = pil_info["boundaries"]
             if not self.device:
@@ -189,6 +188,21 @@ class ProverCtx:
         self.fri_trees = {}
 
     # -- addressing ---------------------------------------------------------
+
+    @property
+    def x_n(self) -> np.ndarray:
+        if self._x_n is None:
+            self._x_n = gl64.powers(gl64.w(self.n_bits), self.N)
+        return self._x_n
+
+    @property
+    def x_ext(self) -> np.ndarray:
+        if self._x_ext is None:
+            self._x_ext = gl64.mul(
+                np.uint64(gl64.SHIFT_INT),
+                gl64.powers(gl64.w(self.n_bits_ext), self.ext_N),
+            )
+        return self._x_ext
 
     def buffer(self, section: str, dom: str) -> np.ndarray:
         if section == "const":
