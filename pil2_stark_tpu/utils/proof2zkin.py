@@ -98,3 +98,23 @@ def challenges2zkin(challenges, challenges_fri_steps, stark_info, zkin: dict) ->
     out["challenges"] = _vals([list(c) for stage in challenges for c in stage])
     out["challengesFRISteps"] = _vals([list(c) for c in challenges_fri_steps])
     return out
+
+
+def challenges2zkin_circom(challenges, challenges_fri_steps, stark_info,
+                           zkin: dict) -> dict:
+    """challenges2zkinCircom (proof2zkin.js:199-220): per-stage challenge
+    signals for verifier circuits emitted with options.inputChallenges."""
+    out = dict(zkin)
+    n_stages = stark_info["nStages"]
+    for i in range(n_stages):
+        n = sum(1 for c in stark_info["challengesMap"] if c["stage"] == i + 1)
+        if n == 0:
+            continue
+        out[f"challengesStage{i + 1}"] = _vals(
+            [list(challenges[i][j]) for j in range(n)]
+        )
+    out["challengeQ"] = _vals(list(challenges[n_stages][0]))
+    out["challengeXi"] = _vals(list(challenges[n_stages + 1][0]))
+    out["challengesFRI"] = _vals([list(c) for c in challenges[n_stages + 2]])
+    out["challengesFRISteps"] = _vals([list(c) for c in challenges_fri_steps])
+    return out

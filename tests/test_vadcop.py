@@ -221,3 +221,40 @@ def test_vadcop_global_constraints_real_proofs(tmp_path):
     # breaking the coupling must break the cross-subproof sum
     bad = [[tuple((int(x) + 1) % P for x in sv_mod[0])], sv_fib]
     assert verify_global_constraints(codes, bad)
+
+
+def test_input_challenges_variant(agg):
+    """options.inputChallenges: the verifier takes its challenges as
+    signals (vadcop multi-FRI aggregation shape,
+    stark_verifier.circom.ejs:811-828) and re-derives only the query
+    positions; rootC becomes an output.  The same proof verifies with its
+    own transcript challenges supplied externally, and corrupted
+    challenges are rejected."""
+    s, files, zkin_a, zkin_b, root = agg
+    _, res, zkin = _fib_proof([1, 2])
+    v = vadcop.p2c.pil2circom(
+        s["constRoot"], s["starkInfo"], s["verifierInfo"],
+        options={"inputChallenges": True, "multiFRI": True},
+    )
+    assert "signal input challengeXi[3]" in v
+    assert "signal output rootC[4]" in v
+    assert "signal output queryVals" in v
+    files2 = dict(files)
+    files2["verifier_ic.circom"] = v
+    zkin_ic = p2z.challenges2zkin_circom(
+        res["challenges"], res["challengesFRISteps"], s["starkInfo"], zkin
+    )
+    cc = cf.compile_and_witness(files2, "verifier_ic.circom", zkin_ic)
+    assert cc.check()
+
+    bad = dict(zkin_ic)
+    bad["challengeXi"] = [
+        (int(v_) + 1) % P for v_ in zkin_ic["challengeXi"]
+    ]
+    rejected = False
+    try:
+        cc = cf.compile_and_witness(files2, "verifier_ic.circom", bad)
+        rejected = not cc.check()
+    except AssertionError:
+        rejected = True
+    assert rejected
