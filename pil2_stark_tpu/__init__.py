@@ -8,7 +8,12 @@ by the interpreter's site hooks).
 """
 import os as _os
 
-_CACHE_DIR = _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_pil2stark")
+from pil2_stark_tpu.utils import jaxcache as _jaxcache
+
+_CACHE_DIR = _os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR",
+    f"/tmp/jax_cache_pil2stark_{_jaxcache.cache_key()}",
+)
 
 try:
     import jax as _jax

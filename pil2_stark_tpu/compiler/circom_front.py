@@ -678,9 +678,13 @@ class Interp:
         """Prologue pre-scan: execute `var` decls (compile-time values like
         log2(n) that size the IO arrays) and allocate input/output signal
         arrays, so the parent can wire inputs before the body runs.
-        Internal signal/component decls are skipped here and handled by
-        the body run; the scan stops at the first non-decl statement (the
-        dialect declares all IO before any logic)."""
+        Internal signal/component decls and all other statements are
+        skipped here and handled by the body run.  The scan walks the
+        WHOLE body: circom allows IO declarations after logic (the
+        reference's stark_verifier.circom.ejs declares the inputChallenges
+        signals mid-template, :811-828), and circom requires IO array
+        dims to be compile-time constants, so every IO decl is resolvable
+        from params + previously scanned vars."""
         env = {
             p: Value.const(v) for p, v in zip(comp.tdef["params"], comp.params)
         }
@@ -688,14 +692,16 @@ class Interp:
         for st in comp.tdef["body"]:
             if st[0] == "assert":
                 # compile-time shape asserts may precede IO decls; checked
-                # again (with signals available) when the body runs
+                # again (with signals and loop-mutated vars) when the body
+                # runs, so scan-time failures (incl. stale-env asserts
+                # after skipped loops) are ignored here
                 try:
                     self.exec_stmt(st, env, None)
-                except (NameError, ValueError):
-                    break
+                except (NameError, ValueError, AssertionError):
+                    pass
                 continue
             if st[0] != "decl":
-                break
+                continue
             kind = st[1]
             if kind == "var":
                 try:
@@ -708,9 +714,9 @@ class Interp:
                         if init is not None:
                             env[name] = _copy_val(self.eval_expr(init, env, None))
                 except (NameError, ValueError):
-                    # a var that references signals — all IO is already
-                    # declared by this point in the dialect
-                    break
+                    # a var that references signals — unusable for IO dims;
+                    # any later IO decl that needs it fails loudly below
+                    continue
                 continue
             if kind not in ("signal_input", "signal_output"):
                 continue

@@ -287,6 +287,17 @@ def _n_challenges(stark_info, stage):
     return sum(1 for c in stark_info["challengesMap"] if c["stage"] == stage)
 
 
+def _ch_stages(stark_info):
+    """Witness stages (2..nStages) that actually carry challenges —
+    stages with none emit NO challengesStage signal, matching the
+    reference template's `if(...length === 0) continue` skip
+    (stark_verifier.circom.ejs:781-786)."""
+    return [
+        s for s in range(2, stark_info["nStages"] + 1)
+        if _n_challenges(stark_info, s) > 0
+    ]
+
+
 # ---------------------------------------------------------------------------
 # template emitters
 
@@ -430,7 +441,7 @@ def gen_transcript(idx, stark_info, const_root):
         lines.append(f"    signal input s{s}_root[4];")
     lines.append(f"    signal input finalPol[{last_pol_n}][3];")
     lines.append("")
-    for stage in range(2, n_stages + 1):
+    for stage in _ch_stages(si):
         lines.append(
             f"    signal output challengesStage{stage}[{_n_challenges(si, stage)}][3];"
         )
@@ -541,7 +552,7 @@ def gen_verify_evaluations(idx, stark_info, verifier_info):
         "// and check it against the Q chunks: C(z)·Zh(z)^-1 == Σ z^(N·i)·Q_i(z)",
         f"template parallel VerifyEvaluations{idx}() {{",
     ]
-    for stage in range(2, n_stages + 1):
+    for stage in _ch_stages(si):
         lines.append(
             f"    signal input challengesStage{stage}[{_n_challenges(si, stage)}][3];"
         )
@@ -889,7 +900,7 @@ def gen_stark_verifier(idx, stark_info, const_root, options):
     qv_decl = "signal output" if multi_fri else "signal"
     lines.append(f"    {qv_decl} queryVals[{nq}][3];")
     ch_decl = "signal input" if input_challenges else "signal"
-    for stage in range(2, n_stages + 1):
+    for stage in _ch_stages(si):
         lines.append(
             f"    {ch_decl} challengesStage{stage}[{_n_challenges(si, stage)}][3];"
         )
@@ -907,7 +918,7 @@ def gen_stark_verifier(idx, stark_info, const_root, options):
         )
     else:
         ch_outs = [
-            f"challengesStage{stage}" for stage in range(2, n_stages + 1)
+            f"challengesStage{stage}" for stage in _ch_stages(si)
         ] + ["challengeQ", "challengeXi", "challengesFRI", "challengesFRISteps", "queriesFRI"]
         t_ins = [f"publics", "rootC"] + [f"root{i}" for i, _, _ in widths] + ["evals"]
         t_ins += [f"s{s}_root" for s in range(1, len(steps))] + ["finalPol"]
@@ -916,7 +927,7 @@ def gen_stark_verifier(idx, stark_info, const_root, options):
         )
     lines.append("")
     ve_args = [
-        f"challengesStage{stage}" for stage in range(2, n_stages + 1)
+        f"challengesStage{stage}" for stage in _ch_stages(si)
     ] + ["challengeQ", "challengeXi", "evals"]
     if n_publics:
         ve_args.append("publics")

@@ -119,8 +119,33 @@ def _partial_rounds(state, k):
     return state
 
 
+# Tri-state override for the Pallas permutation kernel: None = auto (use
+# the VMEM-resident kernel on TPU backends — one HBM read/write per state
+# instead of one per round — the jnp scan chain elsewhere).  Mirrors the
+# NTT gate (ops/ntt.py _FORCE_PALLAS_BASE); tests force both ways.
+_FORCE_PALLAS: bool | None = None
+
+
+def _pallas_enabled() -> bool:
+    if _FORCE_PALLAS is not None:
+        return _FORCE_PALLAS
+    return jax.default_backend() == "tpu"
+
+
 def permute(state):
     """Poseidon permutation on a batch: state = (lo, hi) uint32 (B, 12)."""
+    if _pallas_enabled():
+        from . import pallas_poseidon
+
+        interp = None if _FORCE_PALLAS is None else (
+            jax.default_backend() != "tpu"
+        )
+        return pallas_poseidon.permute_pair(state, interpret=interp)
+    return _permute_jnp(state)
+
+
+def _permute_jnp(state):
+    """The pure-jnp/XLA oracle path (one fused stage per round)."""
     k = _consts()
     state = gl.add(state, (k["c0"][0][None, :], k["c0"][1][None, :]))
     state = _full_rounds(state, k["c_first"], k["m"])
@@ -252,7 +277,20 @@ def _hash_level(dlo, dhi):
     return _hash_level_all(dlo, dhi)
 
 
-_ROW_CHUNK = 8192  # leaf rows per linear-hash dispatch
+_ROW_CHUNK = 8192  # leaf rows per linear-hash dispatch (jnp path)
+
+
+def _row_chunk() -> int:
+    """Rows per scanned leaf-sponge block.  The Pallas path uses its own
+    dispatch quantum so every scanned block fills the kernel's largest
+    batch bucket exactly (an 8192-row block would pad 2x inside the
+    16384 bucket); the jnp path keeps the smaller block that bounds its
+    per-trace fusion size."""
+    if _pallas_enabled():
+        from . import pallas_poseidon
+
+        return pallas_poseidon._CHUNK
+    return _ROW_CHUNK
 
 
 @functools.lru_cache(maxsize=None)
@@ -308,7 +346,7 @@ def _leaf_digests_device(rows, width: int, height: int, split: bool):
             hi = jnp.pad(hi, pad)
     else:
         n_chunks = 0
-    chunk = min(_ROW_CHUNK, height)
+    chunk = min(_row_chunk(), height)
     total = -(-height // chunk) * chunk
     if total != height:
         pad = ((0, total - height), (0, 0))

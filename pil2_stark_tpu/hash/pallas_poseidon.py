@@ -2,15 +2,21 @@
 
 The batched permutation is the inner loop of Merkle tree builds (SURVEY.md
 §3.2 hot loop #2).  The jnp/XLA path (jax_poseidon) is a chain of ~90
-scanned element-wise stages; this kernel keeps the entire 30-round
-permutation in VMEM for a block of states — one HBM read and one write per
-state — with the round loop unrolled inside the kernel body (all VPU u32
-ops; the constants are embedded as immediates).
+scanned element-wise stages — one HBM round trip per round; this kernel
+keeps the entire 30-round permutation in VMEM for a block of states — one
+HBM read and one write per state.
 
 Layout: the batch is split into blocks of `_BLOCK` states; each block is a
 (12, _BLOCK) u32 limb plane pair (state elements on sublanes, batch on
-lanes).  Differentially tested against the numpy oracle / golden digests
-(tests/test_pallas_poseidon.py) — bit-exact.
+lanes).  The round loops run as `fori_loop`s INSIDE the kernel with the
+round constants in SMEM (scalar loads overlap the VPU work): a fully
+unrolled 30-round body is ~120k vector ops and takes minutes per shape
+through the Mosaic compiler + remote relay, while the looped body compiles
+in seconds — and production tree builds need one shape per power-of-two
+level size (permute_pair pads the batch up).
+
+Differentially tested against the numpy oracle / golden digests
+(tests/test_pallas_poseidon.py, hardware-only) — bit-exact.
 """
 from __future__ import annotations
 
@@ -120,16 +126,6 @@ def _mul(alo, ahi, blo, bhi):
     return _canon(lo4, hi3 + c3)
 
 
-def _mulc(alo, ahi, k: int):
-    k %= 0xFFFFFFFF00000001
-    return _mul(alo, ahi, jnp.uint32(k & 0xFFFFFFFF), jnp.uint32(k >> 32))
-
-
-def _addc(alo, ahi, k: int):
-    k %= 0xFFFFFFFF00000001
-    return _add(alo, ahi, jnp.uint32(k & 0xFFFFFFFF), jnp.uint32(k >> 32))
-
-
 def _pow7(lo, hi):
     l2, h2 = _mul(lo, hi, lo, hi)
     l3, h3 = _mul(l2, h2, lo, hi)
@@ -137,81 +133,200 @@ def _pow7(lo, hi):
     return _mul(l4, h4, l3, h3)
 
 
-def _kernel(lo_ref, hi_ref, out_lo_ref, out_hi_ref):
-    C, S, M, P = ref.C, ref.S, ref.M, ref.P
-    st = [
-        (lo_ref[i, :], hi_ref[i, :]) for i in range(T)
-    ]
+# ---------------------------------------------------------------------------
+# constant tables, flattened for SMEM (scalar memory): one u32 lo plane and
+# one u32 hi plane over [C | M | P | S] in that order
 
-    def addc_all(st, base):
-        return [_addc(l, h, int(C[base + i])) for i, (l, h) in enumerate(st)]
 
-    def pow7_all(st):
-        return [_pow7(l, h) for (l, h) in st]
+@functools.lru_cache(maxsize=None)
+def _const_planes():
+    flat = np.concatenate([
+        np.asarray(ref.C, dtype=np.uint64),
+        np.asarray(ref.M, dtype=np.uint64).reshape(-1),  # M[j][i] row-major
+        np.asarray(ref.P, dtype=np.uint64).reshape(-1),
+        np.asarray(ref.S, dtype=np.uint64),
+    ])
+    return (
+        (flat & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        (flat >> np.uint64(32)).astype(np.uint32),
+    )
 
-    def mat_mul(st, mat):
-        out = []
+
+_OFF_C = 0
+_OFF_M = len(ref.C)
+_OFF_P = _OFF_M + T * T
+_OFF_S = _OFF_P + T * T
+_N_CONST = _OFF_S + len(ref.S)
+
+
+def _kernel(clo_ref, chi_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
+    def kc(idx):
+        """Scalar constant (lo, hi) at flat index idx (idx may be traced)."""
+        return clo_ref[idx], chi_ref[idx]
+
+    def addc(v, idx):
+        cl, ch = kc(idx)
+        return _add(v[0], v[1], cl, ch)
+
+    def mulc(v, idx):
+        cl, ch = kc(idx)
+        return _mul(v[0], v[1], cl, ch)
+
+    def pow7_all(lo, hi):
+        o = [_pow7(lo[i], hi[i]) for i in range(T)]
+        return [x[0] for x in o], [x[1] for x in o]
+
+    def add_crow(lo, hi, base):
+        o = [_add(lo[i], hi[i], *kc(base + i)) for i in range(T)]
+        return [x[0] for x in o], [x[1] for x in o]
+
+    def mat_mul(lo, hi, base):
+        """out[i] = Σ_j st[j] · mat[j][i], mat row-major at `base`."""
+        olo, ohi = [], []
         for i in range(T):
-            acc = _mulc(st[0][0], st[0][1], int(mat[0][i]))
+            acc = mulc((lo[0], hi[0]), base + 0 * T + i)
             for j in range(1, T):
-                term = _mulc(st[j][0], st[j][1], int(mat[j][i]))
+                term = mulc((lo[j], hi[j]), base + j * T + i)
                 acc = _add(acc[0], acc[1], term[0], term[1])
-            out.append(acc)
-        return out
+            olo.append(acc[0])
+            ohi.append(acc[1])
+        return olo, ohi
 
-    st = addc_all(st, 0)
-    for r in range(HALF_F - 1):
-        st = pow7_all(st)
-        st = addc_all(st, (r + 1) * T)
-        st = mat_mul(st, M)
-    st = pow7_all(st)
-    st = addc_all(st, HALF_F * T)
-    st = mat_mul(st, P)
+    # fori_loop carries are (tuple of 12 lo rows, tuple of 12 hi rows) —
+    # a pytree of (B,) vectors, so no per-iteration (12, B) relayout
+    lo = [lo_ref[i, :] for i in range(T)]
+    hi = [hi_ref[i, :] for i in range(T)]
 
-    for r in range(RP):
-        x0 = _pow7(st[0][0], st[0][1])
-        x0 = _addc(x0[0], x0[1], int(C[(HALF_F + 1) * T + r]))
-        st[0] = x0
-        srow = S[(2 * T - 1) * r : (2 * T - 1) * (r + 1)]
-        new0 = _mulc(st[0][0], st[0][1], int(srow[0]))
+    lo, hi = add_crow(lo, hi, _OFF_C)  # C row 0
+
+    def full_round(r, carry, c_base, m_base):
+        lo, hi = list(carry[0]), list(carry[1])
+        lo, hi = pow7_all(lo, hi)
+        o = [_add(lo[i], hi[i], *kc(c_base + r * T + i)) for i in range(T)]
+        lo, hi = [x[0] for x in o], [x[1] for x in o]
+        lo, hi = mat_mul(lo, hi, m_base)
+        return tuple(lo), tuple(hi)
+
+    # first half: HALF_F-1 M-rounds with C rows 1..HALF_F-1
+    st = jax.lax.fori_loop(
+        0, HALF_F - 1,
+        lambda r, c: full_round(r, c, _OFF_C + T, _OFF_M),
+        (tuple(lo), tuple(hi)),
+    )
+    lo, hi = list(st[0]), list(st[1])
+
+    # bridge round: pow7 + C row HALF_F + P matrix
+    lo, hi = pow7_all(lo, hi)
+    lo, hi = add_crow(lo, hi, _OFF_C + HALF_F * T)
+    lo, hi = mat_mul(lo, hi, _OFF_P)
+
+    # partial rounds: sparse S-matrix updates
+    def partial_round(r, carry):
+        lo, hi = list(carry[0]), list(carry[1])
+        x0 = _pow7(lo[0], hi[0])
+        x0 = addc(x0, _OFF_C + (HALF_F + 1) * T + r)
+        lo[0], hi[0] = x0
+        s_base = _OFF_S + (2 * T - 1) * r
+        new0 = mulc((lo[0], hi[0]), s_base)
         for j in range(1, T):
-            term = _mulc(st[j][0], st[j][1], int(srow[j]))
+            term = mulc((lo[j], hi[j]), s_base + j)
             new0 = _add(new0[0], new0[1], term[0], term[1])
         for k in range(1, T):
-            term = _mulc(x0[0], x0[1], int(srow[T + k - 1]))
-            st[k] = _add(st[k][0], st[k][1], term[0], term[1])
-        st[0] = new0
+            term = mulc(x0, s_base + T + k - 1)
+            lo[k], hi[k] = _add(lo[k], hi[k], term[0], term[1])
+        lo[0], hi[0] = new0
+        return tuple(lo), tuple(hi)
 
-    base = (HALF_F + 1) * T + RP
-    for r in range(HALF_F - 1):
-        st = pow7_all(st)
-        st = addc_all(st, base + r * T)
-        st = mat_mul(st, M)
-    st = pow7_all(st)
-    st = mat_mul(st, M)
+    st = jax.lax.fori_loop(0, RP, partial_round, (tuple(lo), tuple(hi)))
+
+    # second half: HALF_F-1 M-rounds, then the explicit tail pow7 + M
+    c2_base = _OFF_C + (HALF_F + 1) * T + RP
+    st = jax.lax.fori_loop(
+        0, HALF_F - 1,
+        lambda r, c: full_round(r, c, c2_base, _OFF_M),
+        st,
+    )
+    lo, hi = list(st[0]), list(st[1])
+    lo, hi = pow7_all(lo, hi)
+    lo, hi = mat_mul(lo, hi, _OFF_M)
 
     for i in range(T):
-        out_lo_ref[i, :] = st[i][0]
-        out_hi_ref[i, :] = st[i][1]
+        out_lo_ref[i, :] = lo[i]
+        out_hi_ref[i, :] = hi[i]
 
 
 @functools.lru_cache(maxsize=None)
 def _pallas_permute(n_blocks: int, interpret: bool):
     grid = (n_blocks,)
     spec = pl.BlockSpec((T, _BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec(
+        (_N_CONST,), lambda i: (0,), memory_space=pltpu.SMEM
+    )
     return jax.jit(
-        lambda lo, hi: pl.pallas_call(
+        lambda clo, chi, lo, hi: pl.pallas_call(
             _kernel,
             grid=grid,
-            in_specs=[spec, spec],
+            in_specs=[cspec, cspec, spec, spec],
             out_specs=[spec, spec],
             out_shape=[
                 jax.ShapeDtypeStruct((T, n_blocks * _BLOCK), jnp.uint32),
                 jax.ShapeDtypeStruct((T, n_blocks * _BLOCK), jnp.uint32),
             ],
             interpret=interpret,
-        )(lo, hi)
+        )(clo, chi, lo, hi)
     )
+
+
+def _permute_planes(lo, hi, interpret: bool):
+    """(12, B) u32 limb planes -> permuted planes; B a _BLOCK multiple."""
+    clo, chi = _const_planes()
+    return _pallas_permute(lo.shape[1] // _BLOCK, interpret)(
+        jnp.asarray(clo), jnp.asarray(chi), lo, hi
+    )
+
+
+# Batch-size buckets: every dispatch pads to one of THREE fixed batch
+# shapes (larger batches scan the _CHUNK program), so the process compiles
+# at most 3 Mosaic kernels total — each new pallas shape costs ~1 min
+# through the remote compile relay, and tree levels would otherwise touch
+# one shape per power-of-two level size.  Production batches are powers of
+# two, so bucket padding wastes at most 2x on the (tiny) mid-size levels.
+_BUCKETS = (1 << 12, 1 << 14, 1 << 16)
+_CHUNK = _BUCKETS[-1]
+
+
+def permute_pair(state, interpret: bool | None = None):
+    """Traceable batched permutation on a (lo, hi) uint32 (B, 12) pair —
+    the production entry point used by jax_poseidon.permute on TPU
+    backends.  Transposes to the kernel's (12, B) planar layout, pads the
+    batch to a fixed bucket (or scans the _CHUNK-sized program for large
+    batches), and slices the result back; usable inside jit/scan bodies."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu",)
+    lo, hi = state
+    b = lo.shape[0]
+    if b <= _CHUNK:
+        pb = next(p for p in _BUCKETS if p >= b)
+        if pb != b:
+            lo = jnp.pad(lo, ((0, pb - b), (0, 0)))
+            hi = jnp.pad(hi, ((0, pb - b), (0, 0)))
+        olo, ohi = _permute_planes(lo.T, hi.T, interpret)
+        return olo.T[:b], ohi.T[:b]
+    pb = -(-b // _CHUNK) * _CHUNK
+    if pb != b:
+        lo = jnp.pad(lo, ((0, pb - b), (0, 0)))
+        hi = jnp.pad(hi, ((0, pb - b), (0, 0)))
+    nc = pb // _CHUNK
+    lo = lo.reshape(nc, _CHUNK, T)
+    hi = hi.reshape(nc, _CHUNK, T)
+
+    def body(_, ch):
+        clo, chi = ch
+        olo, ohi = _permute_planes(clo.T, chi.T, interpret)
+        return None, (olo.T, ohi.T)
+
+    _, (olo, ohi) = jax.lax.scan(body, None, (lo, hi))
+    return olo.reshape(pb, T)[:b], ohi.reshape(pb, T)[:b]
 
 
 def permute_pallas_u64(states: np.ndarray, interpret: bool | None = None) -> np.ndarray:
@@ -229,7 +344,7 @@ def permute_pallas_u64(states: np.ndarray, interpret: bool | None = None) -> np.
     planes = buf.T.copy()  # (12, padded)
     lo = (planes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     hi = (planes >> np.uint64(32)).astype(np.uint32)
-    olo, ohi = _pallas_permute(padded // _BLOCK, interpret)(lo, hi)
+    olo, ohi = _permute_planes(jnp.asarray(lo), jnp.asarray(hi), interpret)
     out = np.asarray(olo, dtype=np.uint64) | (
         np.asarray(ohi, dtype=np.uint64) << np.uint64(32)
     )

@@ -76,19 +76,19 @@ def execute_plookup(n, pols):
     pols.cc[:grid] = (idx // 16) * (idx % 16)
     pols.cc[grid:] = np.arange(grid, n)
 
-    p = 0
-    for i in range(10):
-        pols.sel[p] = 1
-        pols.a[p] = i
-        pols.b[p] = 55 if i == 0 else i + 3
-        p += 1
-    pols.sel[p] = 0
-    pols.a[p] = 55
-    pols.b[p] = 10
-    p += 1
-    pols.sel[p:] = 0
-    pols.a[p:] = 55
-    pols.b[p:] = 55
+    # selected rows look up (a, b', a·b') — keep the pairs inside the
+    # table grid (A < grid/16, B < 16) so small-n machines (the
+    # multichip dryrun runs this at n=64) stay satisfiable
+    a_max = max(1, grid // 16)
+    n_sel = min(10, n - 2)
+    pairs = [(i % a_max, (i * 7 + 3) % 16) for i in range(n_sel)]
+    pols.sel[:] = 0
+    pols.a[:] = pairs[0][0]
+    pols.b[:] = pairs[0][1]
+    for i, (av, bv) in enumerate(pairs):
+        pols.sel[i] = 1
+        pols.a[i] = av
+        pols.b[i + 1] = bv  # row i's lookup reads b' = b[i+1]
 
 
 # -- permutation ------------------------------------------------------------

@@ -36,21 +36,14 @@ from ..field import jax_gl as gl
 from ..ops import ntt as ntt_ops
 
 
-def _local_ntt_cols(lo, hi, bits, rev, tw):
-    """NTT along axis 0 of (N1, M) limb arrays (natural order in/out)."""
-    return ntt_ops._ntt_body((lo, hi), bits, rev, tw)
+def _local_ntt_cols(lo, hi, bits, inverse):
+    """NTT along axis 0 of (N1, M) limb arrays (natural order in/out).
 
-
-@functools.lru_cache(maxsize=None)
-def _consts_dir(bits: int, inverse: bool):
-    """Bit-reverse perm + per-stage twiddles, forward or inverse roots.
-    numpy pairs (trace-safe constants), shaped like ops.ntt._make_consts."""
-    rev = jnp.asarray(ntt_ops.bit_reverse_indices(bits))
-    tables = []
-    for s in range(1, bits + 1):
-        ws = gl64.w_inv(s) if inverse else gl64.w(s)
-        tables.append(gl.from_u64(gl64.powers(ws, 1 << (s - 1))))
-    return rev, tables
+    Rides ops.ntt's four-step recursion, whose base transforms run the
+    VMEM-resident Pallas butterfly kernel on TPU backends — the mesh path
+    shares the single-chip kernels instead of the per-stage jnp chain
+    (round-3 weak #7)."""
+    return ntt_ops._axis0_ntt((lo, hi), bits, inverse)
 
 
 def _twiddle_table(bits_total: int, n1: int, n2: int, inverse: bool = False) -> np.ndarray:
@@ -117,8 +110,6 @@ def make_sharded_ntt(bits: int, n_cols: int, mesh: Mesh, axis=None, inverse: boo
     n1, n2 = 1 << bits1, 1 << bits2
     assert n1 % d == 0 and n2 % d == 0, "mesh axis must divide both factors"
 
-    rev1, tw1 = _consts_dir(bits1, inverse)
-    rev2, tw2 = _consts_dir(bits2, inverse)
     twiddle = _twiddle_pair(bits, n1, n2, inverse)
 
     c = n_cols
@@ -133,7 +124,7 @@ def make_sharded_ntt(bits: int, n_cols: int, mesh: Mesh, axis=None, inverse: boo
         # local NTT_N1 along axis 0
         lo2 = lo.reshape(n1, (n2 // d) * c)
         hi2 = hi.reshape(n1, (n2 // d) * c)
-        lo2, hi2 = _local_ntt_cols(lo2, hi2, bits1, rev1, tw1)
+        lo2, hi2 = _local_ntt_cols(lo2, hi2, bits1, inverse)
         lo = lo2.reshape(n1, n2 // d, c)
         hi = hi2.reshape(n1, n2 // d, c)
         # twiddle w_N^{o1·i2}: i2_global = rank*(n2/d) + local
@@ -149,7 +140,7 @@ def make_sharded_ntt(bits: int, n_cols: int, mesh: Mesh, axis=None, inverse: boo
         # local NTT_N2 along i2: transform each row (axis 1)
         lo2 = jnp.swapaxes(lo, 0, 1).reshape(n2, (n1 // d) * c)
         hi2 = jnp.swapaxes(hi, 0, 1).reshape(n2, (n1 // d) * c)
-        lo2, hi2 = _local_ntt_cols(lo2, hi2, bits2, rev2, tw2)
+        lo2, hi2 = _local_ntt_cols(lo2, hi2, bits2, inverse)
         lo = jnp.swapaxes(lo2.reshape(n2, n1 // d, c), 0, 1)  # (n1/d, n2, c)
         hi = jnp.swapaxes(hi2.reshape(n2, n1 // d, c), 0, 1)
         # current layout: local [o1_local, o2]; global flat desired:

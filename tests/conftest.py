@@ -1,25 +1,17 @@
 """Test harness config: run JAX on CPU with 8 virtual devices so sharded
 (multi-chip) code paths are exercised without TPU hardware.  A persistent
 compilation cache makes repeated suite runs cheap (compiles dominate)."""
-import hashlib
 import os
-import platform
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-# Key the persistent cache by host CPU features: XLA:CPU AOT executables are
-# machine-specific, and loading an entry produced on a different host (these
-# runners migrate) spends minutes in deserialize before falling back — or
-# risks SIGILL.
-try:
-    with open("/proc/cpuinfo") as f:
-        _flags = next((l for l in f if l.startswith("flags")), "")
-except OSError:
-    _flags = ""
-_mid = hashlib.sha256((platform.machine() + _flags).encode()).hexdigest()[:12]
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR", f"/tmp/jax_cache_pil2stark_{_mid}"
-)
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# Persistent cache keyed by (jaxlib, CPU identity) — entries from another
+# machine or toolchain burn minutes in deserialize-then-fallback (see
+# pil2_stark_tpu/utils/jaxcache.py).  jaxcache does not import jax, so the
+# env vars land before the first backend read.
+from pil2_stark_tpu.utils import jaxcache  # noqa: E402
+
+jaxcache.setup_cache()
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
