@@ -713,9 +713,13 @@ class Interp:
                         env[name] = _make_var_array(dims)
                         if init is not None:
                             env[name] = _copy_val(self.eval_expr(init, env, None))
-                except (NameError, ValueError):
-                    # a var that references signals — unusable for IO dims;
-                    # any later IO decl that needs it fails loudly below
+                except (NameError, ValueError, AssertionError,
+                        ZeroDivisionError):
+                    # a var that references signals or loop-mutated state
+                    # the scan does not track (stale values can trip
+                    # function asserts/inverses) — unusable for IO dims;
+                    # any later IO decl that needs it fails loudly below,
+                    # and the body run re-evaluates it with live values
                     continue
                 continue
             if kind not in ("signal_input", "signal_output"):

@@ -354,7 +354,87 @@ def gen_poseidon_bn(t_values) -> str:
     return "\n\n".join(parts)
 
 
-def gen_linear_hash_bn(width: int, arity: int = 16) -> str:
+def gen_poseidon_custom_bn(t_values) -> str:
+    """Custom-gate Poseidon templates for the merkleTreeCustom verifier
+    variant (reference circuits.bn128/custom/poseidon.circom:1-60): a
+    ``template custom PoseidonT(t)`` exposing every round's intermediate
+    state (the final-tier plonkish machines lay those rows out as
+    committed columns — final/plonksetup.py custom_gates_info matches the
+    gate by the name "PoseidonT"), plus the ``CustomPoseidon`` sponge
+    wrapper.  Constants are the ORIGINAL (non-optimized) Poseidon tables —
+    the same permutation the optimized circomlibjs form computes, which is
+    what hash/poseidon_bn128.py evaluates."""
+    t_values = sorted(set(t_values))
+    parts = ["// Poseidon over Fr as custom gates (original constants)"]
+    for t in t_values:
+        c, m, rp = poseidon_bn128._constants(t)
+        parts.append(
+            f"function POSEIDON_C_ORIG_{t}() {{\n"
+            f"    return [{', '.join(str(x) for x in c)}];\n}}"
+        )
+        flat_m = [str(m[i][j]) for i in range(t) for j in range(t)]
+        parts.append(
+            f"function POSEIDON_M_ORIG_{t}() {{\n"
+            f"    return [{', '.join(flat_m)}];\n}}"
+        )
+    rf = poseidon_bn128.N_ROUNDS_F
+    half = rf // 2
+    rp_by_t = {t: poseidon_bn128._constants(t)[2] for t in t_values}
+    rp_chain = " : ".join(
+        [f"t == {t} ? {rp_by_t[t]}" for t in t_values] + ["0"]
+    )
+    c_sel = "\n".join(
+        f"    if (t == {t}) {{ C = POSEIDON_C_ORIG_{t}(); M = POSEIDON_M_ORIG_{t}(); }}"
+        for t in t_values
+    )
+    parts.append(f"""template custom PoseidonT(t) {{
+    var nRoundsP = {rp_chain};
+    var totalRounds = {rf} + nRoundsP;
+    signal input in[t];
+    signal output im[totalRounds - 1][t];
+    signal output out[t];
+
+    var C[t * totalRounds];
+    var M[t * t];
+{c_sel}
+
+    var st[t] = in;
+    var nst[t];
+    for (var r = 0; r < totalRounds; r++) {{
+        for (var j = 0; j < t; j++) {{
+            st[j] = st[j] + C[t * r + j];
+            st[j] = r < {half} || r >= nRoundsP + {half} || j == 0
+                    ? st[j] ** 5
+                    : st[j];
+        }}
+        for (var i = 0; i < t; i++) {{
+            nst[i] = 0;
+            for (var j = 0; j < t; j++) {{ nst[i] += M[i * t + j] * st[j]; }}
+        }}
+        st = nst;
+        if (r < totalRounds - 1) {{
+            im[r] <-- st;
+        }} else {{
+            out <-- st;
+        }}
+    }}
+}}
+
+template CustomPoseidon(nInputs) {{
+    signal input in[nInputs];
+    signal input initialState;
+    signal output out[nInputs + 1];
+
+    component p = PoseidonT(nInputs + 1);
+    p.in[0] <== initialState;
+    for (var i = 0; i < nInputs; i++) {{ p.in[i + 1] <== in[i]; }}
+    _ <== p.im;
+    out <== p.out;
+}}""")
+    return "\n\n".join(parts)
+
+
+def gen_linear_hash_bn(width: int, arity: int = 16, custom: bool = False) -> str:
     """LinearHashBN{width}: GL row -> pack 3/Fr -> sponge (linearhash.bn128.js).
     Inputs are range-checked to 64 bits (the packing is a linear combination,
     unsound on unchecked values)."""
@@ -376,25 +456,33 @@ def gen_linear_hash_bn(width: int, arity: int = 16) -> str:
         lines.append("    out <== packed[0];")
         lines.append("}")
         return "\n".join(lines)
-    # sponge: chunks of `arity`, capacity = running state
+    # sponge: chunks of `arity`, capacity = running state.  The custom
+    # variant pads the last chunk to the full arity (linearhash.bn128.js:58
+    # with this.custom) and rides the CustomPoseidon gate.
     chunks = [min(arity, n3 - s) for s in range(0, n3, arity)]
     pos = 0
     prev_state = "0"
-    for ci, csize in enumerate(chunks):
+    for ci, orig_size in enumerate(chunks):
+        ins = [f"packed[{pos + k}]" for k in range(orig_size)]
+        csize = orig_size
+        if custom:
+            ins += ["0"] * (arity - csize)
+            csize = arity
         t = csize + 1
-        ins = ", ".join(f"packed[{pos + k}]" for k in range(csize))
+        tmpl = f"CustomPoseidon({csize})" if custom else f"PoseidonBN{t}()"
         lines.append(
-            f"    signal h{ci}[{t}] <== PoseidonBN{t}()([{ins}], {prev_state});"
+            f"    signal h{ci}[{t}] <== {tmpl}([{', '.join(ins)}], {prev_state});"
         )
         lines.append(f"    for (var i = 1; i < {t}; i++) {{ _ <== h{ci}[i]; }}")
         prev_state = f"h{ci}[0]"
-        pos += csize
+        pos += orig_size
     lines.append(f"    out <== {prev_state};")
     lines.append("}")
     return "\n".join(lines)
 
 
-def gen_verify_merkle_bn(width: int, n_levels: int, arity: int = 16) -> str:
+def gen_verify_merkle_bn(width: int, n_levels: int, arity: int = 16,
+                         custom: bool = False) -> str:
     """VerifyMerkleHashBN{width}_{n_levels}: arity-16 path check.  The query
     key arrives as bits (4 per level); each level re-hashes the sibling
     group with our running digest substituted at the key position."""
@@ -419,8 +507,11 @@ def gen_verify_merkle_bn(width: int, n_levels: int, arity: int = 16) -> str:
         lines.append(f"        sel{l}[k] <== oh{l}[k] * ({prev} - siblings[{l}][k]);")
         lines.append(f"        grp{l}[k] <== siblings[{l}][k] + sel{l}[k];")
         lines.append("    }")
+        node = (
+            f"CustomPoseidon({arity})" if custom else f"PoseidonBN{arity + 1}()"
+        )
         lines.append(
-            f"    signal lvl{l}[{arity + 1}] <== PoseidonBN{arity + 1}()(grp{l}, 0);"
+            f"    signal lvl{l}[{arity + 1}] <== {node}(grp{l}, 0);"
         )
         lines.append(
             f"    for (var i = 1; i < {arity + 1}; i++) {{ _ <== lvl{l}[i]; }}"

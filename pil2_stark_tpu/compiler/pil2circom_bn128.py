@@ -31,8 +31,10 @@ U64 = 1 << 64
 
 
 class SymTranscriptBN:
-    def __init__(self, prefix="tH_"):
+    def __init__(self, prefix="tH_", arity=16, custom=False):
         self.prefix = prefix
+        self.arity = arity
+        self.custom = custom
         self.state = "0"
         self.pending = []
         self.out = []  # squeezable element exprs
@@ -46,16 +48,16 @@ class SymTranscriptBN:
         self.out = []
         self.limbs = []
         self.pending.append(expr)
-        if len(self.pending) == 16:
+        if len(self.pending) == self.arity:
             self._update()
 
     def _update(self):
-        while len(self.pending) < 16:
+        while len(self.pending) < self.arity:
             self.pending.append("0")
         name = f"{self.prefix}{len(self.hashes)}"
         self.hashes.append((name, list(self.pending), self.state))
         self.used.append(set())
-        self.out = [(len(self.hashes) - 1, i) for i in range(17)]
+        self.out = [(len(self.hashes) - 1, i) for i in range(self.arity + 1)]
         self.pending = []
         self.state = f"{name}[0]"
         self.used[-1].add(0)  # chained capacity counts as used
@@ -90,15 +92,20 @@ class SymTranscriptBN:
         for h, line in self.splits:
             by_hash.setdefault(h, []).append(line)
         # splits must precede their consumers: emit split lines first
+        t = self.arity + 1
+        tmpl = (
+            f"CustomPoseidon({self.arity})" if self.custom
+            else f"PoseidonBN{t}()"
+        )
         for hi, (name, inputs, cap) in enumerate(self.hashes):
             ins = ", ".join(inputs)
             lines.append(
-                f"    signal {name}[17] <== PoseidonBN17()([{ins}], {cap});"
+                f"    signal {name}[{t}] <== {tmpl}([{ins}], {cap});"
             )
             entries = by_hash.get(hi, [])
             entries.sort(key=lambda s: 0 if "Bn1toGL3" in s else 1)
             lines.extend(entries)
-            unused = [i for i in range(17) if i not in self.used[hi]]
+            unused = [i for i in range(t) if i not in self.used[hi]]
             for i in unused:
                 lines.append(f"    _ <== {name}[{i}]; // unused squeeze slot")
         return lines
@@ -281,6 +288,12 @@ def _merkle_levels(height: int, arity: int = 16) -> int:
 # template emitters
 
 
+def _transcript_params(ss):
+    custom = bool(ss.get("merkleTreeCustom"))
+    arity = ss.get("merkleTreeArity", 16) if custom else 16
+    return arity, custom
+
+
 def gen_transcript_bn(idx, si, const_root):
     ss = si["starkStruct"]
     n_stages = si["nStages"]
@@ -291,7 +304,8 @@ def gen_transcript_bn(idx, si, const_root):
     nq = ss["nQueries"]
     qb = steps[0]["nBits"]
 
-    t = SymTranscriptBN()
+    t_arity, t_custom = _transcript_params(ss)
+    t = SymTranscriptBN(arity=t_arity, custom=t_custom)
     assigns = []
 
     def squeeze3(target):
@@ -330,7 +344,7 @@ def gen_transcript_bn(idx, si, const_root):
     # calculateFRIQueries), 253 usable bits per squeezed element
     total = nq * qb
     n_fields = (total - 1) // 253 + 1
-    tq = SymTranscriptBN("tHq_")
+    tq = SymTranscriptBN("tHq_", arity=t_arity, custom=t_custom)
     for k in range(3):
         tq.put(f"challengesFRISteps[{len(steps)}][{k}]")
     q_fields = [tq.get_fields253() for _ in range(n_fields)]
@@ -829,8 +843,9 @@ def gen_stark_verifier_bn(idx, si, const_root, options):
     n_stages = si["nStages"]
     last_n = 1 << steps[-1]["nBits"]
     widths = _stage_widths(si)
-    arity = 16
-    abits = 4
+    custom = bool(ss.get("merkleTreeCustom"))
+    arity = ss.get("merkleTreeArity", 16) if custom else 16
+    abits = (arity - 1).bit_length()
     s0_levels = _merkle_levels(1 << ext_bits, arity)
 
     lines = [f"template StarkVerifierBN{idx}() {{"]
@@ -981,14 +996,17 @@ def pil2circom_bn128(const_root, stark_info, verifier_info, options=None, index=
     ss = si["starkStruct"]
     assert ss.get("verificationHashType") == "BN128"
     steps = ss["steps"]
-    arity = 16
+    # merkleTreeCustom: every Poseidon rides the custom PoseidonT gate at
+    # the tree arity (reference pil2circom.js:25-26 + circuits.bn128/custom)
+    custom = bool(ss.get("merkleTreeCustom"))
+    arity = ss.get("merkleTreeArity", 16) if custom else 16
 
     # gadget instantiations needed: poseidon widths, linear hash widths,
     # merkle (width, levels) pairs, one-hot sizes
-    t_widths = {17}
+    t_widths = set() if custom else {17}
     lh_widths = set()
     vm_pairs = set()
-    oh_sizes = {4}
+    oh_sizes = {(arity - 1).bit_length()}
     s0_levels = _merkle_levels(1 << steps[0]["nBits"], arity)
     for _, _, width in _stage_widths(si):
         if width:
@@ -1001,34 +1019,39 @@ def pil2circom_bn128(const_root, stark_info, verifier_info, options=None, index=
         levels = _merkle_levels(1 << steps[s]["nBits"], arity)
         lh_widths.add(group * 3)
         vm_pairs.add((group * 3, levels))
-    for w in lh_widths:
-        n3 = -(-w // 3)
-        pos = 0
-        for start in range(0, n3, arity):
-            csize = min(arity, n3 - start)
-            if n3 > 1:
-                t_widths.add(csize + 1)
+    if not custom:
+        for w in lh_widths:
+            n3 = -(-w // 3)
+            for start in range(0, n3, arity):
+                csize = min(arity, n3 - start)
+                if n3 > 1:
+                    t_widths.add(csize + 1)
     for s in range(1, len(steps)):
         next_bits = steps[s + 1]["nBits"] if s < len(steps) - 1 else 0
         oh_sizes.add(steps[s]["nBits"] - next_bits)
     next1 = steps[1]["nBits"] if len(steps) > 1 else 0
     oh_sizes.add(steps[0]["nBits"] - next1)
 
-    parts = [
-        "pragma circom 2.1.0;",
+    parts = ["pragma circom 2.1.0;"]
+    if custom:
+        parts.append("pragma custom_templates;")
+    parts += [
         "",
         gbn.gen_bit_utils(),
         gbn.gen_gl_lib(),
         gbn.gen_roots_fns(),
-        gbn.gen_poseidon_bn(sorted(t_widths)),
     ]
+    if t_widths:
+        parts.append(gbn.gen_poseidon_bn(sorted(t_widths)))
+    if custom:
+        parts.append(gbn.gen_poseidon_custom_bn([arity + 1]))
     for n in sorted(oh_sizes):
         if n > 0:
             parts.append(gbn.gen_one_hot(n))
     for w in sorted(lh_widths):
-        parts.append(gbn.gen_linear_hash_bn(w, arity))
+        parts.append(gbn.gen_linear_hash_bn(w, arity, custom))
     for w, lv in sorted(vm_pairs):
-        parts.append(gbn.gen_verify_merkle_bn(w, lv, arity))
+        parts.append(gbn.gen_verify_merkle_bn(w, lv, arity, custom))
 
     parts.append(gen_transcript_bn(index, si, const_root))
     parts.append(gen_verify_evaluations_bn(index, si, verifier_info))

@@ -8,12 +8,13 @@ HBM read and one write per state.
 
 Layout: the batch is split into blocks of `_BLOCK` states; each block is a
 (12, _BLOCK) u32 limb plane pair (state elements on sublanes, batch on
-lanes).  The round loops run as `fori_loop`s INSIDE the kernel with the
-round constants in SMEM (scalar loads overlap the VPU work): a fully
-unrolled 30-round body is ~120k vector ops and takes minutes per shape
-through the Mosaic compiler + remote relay, while the looped body compiles
-in seconds — and production tree builds need one shape per power-of-two
-level size (permute_pair pads the batch up).
+lanes) so every round op is a full-width (12, B) vector op — an earlier
+per-row formulation used one sublane of eight and lost to the jnp path.
+The 30 rounds are Python-unrolled with STATIC constant-column slices
+(Mosaic rejects dynamic lane slices); the vectorized body is small enough
+(~15k vector ops) that the unrolled kernel still compiles in seconds, and
+permute_pair pads every batch to one of three fixed buckets so the process
+compiles at most three kernel shapes.
 
 Differentially tested against the numpy oracle / golden digests
 (tests/test_pallas_poseidon.py, hardware-only) — bit-exact.
@@ -134,155 +135,175 @@ def _pow7(lo, hi):
 
 
 # ---------------------------------------------------------------------------
-# constant tables, flattened for SMEM (scalar memory): one u32 lo plane and
-# one u32 hi plane over [C | M | P | S] in that order
+# constant tables as (12, n) u32 limb planes — COLUMN vectors over the
+# state dimension, so every kernel op is a full (12, B) vector op (a per-row
+# formulation ran on one sublane of eight and lost to the jnp path):
+#   C_t:  (12, n_rounds_with_c)  round constants, one column per add-round
+#   Mt:   (12, 12)  MDS transposed — Mt[:, j] = M[j, :] (out contribution
+#         of state row j), so the matmul is Σ_j bcast(st[j]) · Mt[:, j]
+#   Pt:   (12, 12)  same for the sparse-entry P matrix bridge round
+#   Sa:   (12, RP)  partial-round dot coefficients S[23r + j]
+#   Sb:   (12, RP)  partial-round update coefficients (row 0 zero,
+#         row k = S[23r + T + k - 1])
 
 
 @functools.lru_cache(maxsize=None)
 def _const_planes():
-    flat = np.concatenate([
-        np.asarray(ref.C, dtype=np.uint64),
-        np.asarray(ref.M, dtype=np.uint64).reshape(-1),  # M[j][i] row-major
-        np.asarray(ref.P, dtype=np.uint64).reshape(-1),
-        np.asarray(ref.S, dtype=np.uint64),
-    ])
-    return (
-        (flat & np.uint64(0xFFFFFFFF)).astype(np.uint32),
-        (flat >> np.uint64(32)).astype(np.uint32),
-    )
+    C = np.asarray(ref.C, dtype=np.uint64)
+    M = np.asarray(ref.M, dtype=np.uint64)
+    P = np.asarray(ref.P, dtype=np.uint64)
+    S = np.asarray(ref.S, dtype=np.uint64).reshape(RP, 2 * T - 1)
+    # add-round constant columns, in consumption order:
+    #   col 0: C row 0 (initial add)
+    #   cols 1..HALF_F-1: first-half full-round rows
+    #   col HALF_F: the bridge row
+    #   cols HALF_F+1 .. +RP: partial-round constants (c at row 0 only)
+    #   last HALF_F-1 cols: second-half full-round rows
+    cols = [C[0:T]]
+    for r in range(HALF_F - 1):
+        cols.append(C[(r + 1) * T : (r + 2) * T])
+    cols.append(C[HALF_F * T : (HALF_F + 1) * T])
+    for r in range(RP):
+        col = np.zeros(T, dtype=np.uint64)
+        col[0] = C[(HALF_F + 1) * T + r]
+        cols.append(col)
+    base = (HALF_F + 1) * T + RP
+    for r in range(HALF_F - 1):
+        cols.append(C[base + r * T : base + (r + 1) * T])
+    c_t = np.stack(cols, axis=1)  # (12, n_cols)
+    sa = S[:, :T].T.copy()  # (12, RP)
+    sb = np.zeros((T, RP), dtype=np.uint64)
+    sb[1:, :] = S[:, T:].T
+    def pair(a):
+        return (
+            (a & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            (a >> np.uint64(32)).astype(np.uint32),
+        )
+    return {
+        "c": pair(c_t), "mt": pair(M.T.copy()), "pt": pair(P.T.copy()),
+        "sa": pair(sa), "sb": pair(sb),
+    }
 
 
-_OFF_C = 0
-_OFF_M = len(ref.C)
-_OFF_P = _OFF_M + T * T
-_OFF_S = _OFF_P + T * T
-_N_CONST = _OFF_S + len(ref.S)
+_C_PARTIAL0 = HALF_F + 1  # first partial-round column in C_t
+_C_SECOND0 = _C_PARTIAL0 + RP
 
 
-def _kernel(clo_ref, chi_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
-    def kc(idx):
-        """Scalar constant (lo, hi) at flat index idx (idx may be traced)."""
-        return clo_ref[idx], chi_ref[idx]
+def _kernel(c_lo, c_hi, mt_lo, mt_hi, pt_lo, pt_hi, sa_lo, sa_hi,
+            sb_lo, sb_hi, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
+    """30-round permutation on a (12, _BLOCK) block, all (12, B) vector ops."""
 
-    def addc(v, idx):
-        cl, ch = kc(idx)
-        return _add(v[0], v[1], cl, ch)
+    def c_col(r):
+        # static round index: (12, 1) constant column (Mosaic rejects
+        # dynamic lane slices, so the round loops are Python-unrolled)
+        return c_lo[:, r : r + 1], c_hi[:, r : r + 1]
 
-    def mulc(v, idx):
-        cl, ch = kc(idx)
-        return _mul(v[0], v[1], cl, ch)
+    def add_pair(a, b):
+        return _add(a[0], a[1], b[0], b[1])
 
-    def pow7_all(lo, hi):
-        o = [_pow7(lo[i], hi[i]) for i in range(T)]
-        return [x[0] for x in o], [x[1] for x in o]
+    def mat_mul(st, t_lo, t_hi):
+        acc = None
+        for j in range(T):
+            row = (st[0][j : j + 1, :], st[1][j : j + 1, :])
+            col = (t_lo[:, j : j + 1], t_hi[:, j : j + 1])
+            term = _mul(row[0], row[1], col[0], col[1])
+            acc = term if acc is None else add_pair(acc, term)
+        return acc
 
-    def add_crow(lo, hi, base):
-        o = [_add(lo[i], hi[i], *kc(base + i)) for i in range(T)]
-        return [x[0] for x in o], [x[1] for x in o]
+    def pow7_st(st):
+        return _pow7(st[0], st[1])
 
-    def mat_mul(lo, hi, base):
-        """out[i] = Σ_j st[j] · mat[j][i], mat row-major at `base`."""
-        olo, ohi = [], []
-        for i in range(T):
-            acc = mulc((lo[0], hi[0]), base + 0 * T + i)
-            for j in range(1, T):
-                term = mulc((lo[j], hi[j]), base + j * T + i)
-                acc = _add(acc[0], acc[1], term[0], term[1])
-            olo.append(acc[0])
-            ohi.append(acc[1])
-        return olo, ohi
+    st = (lo_ref[:], hi_ref[:])
+    st = add_pair(st, c_col(0))
 
-    # fori_loop carries are (tuple of 12 lo rows, tuple of 12 hi rows) —
-    # a pytree of (B,) vectors, so no per-iteration (12, B) relayout
-    lo = [lo_ref[i, :] for i in range(T)]
-    hi = [hi_ref[i, :] for i in range(T)]
+    def full_round(r, st, c_off, t_lo, t_hi):
+        st = pow7_st(st)
+        st = add_pair(st, c_col(r + c_off))
+        return mat_mul(st, t_lo, t_hi)
 
-    lo, hi = add_crow(lo, hi, _OFF_C)  # C row 0
+    for r in range(HALF_F - 1):
+        st = full_round(r, st, 1, mt_lo, mt_hi)
+    # bridge round: pow7 + C col HALF_F + P matrix
+    st = full_round(HALF_F - 1, st, 1, pt_lo, pt_hi)
 
-    def full_round(r, carry, c_base, m_base):
-        lo, hi = list(carry[0]), list(carry[1])
-        lo, hi = pow7_all(lo, hi)
-        o = [_add(lo[i], hi[i], *kc(c_base + r * T + i)) for i in range(T)]
-        lo, hi = [x[0] for x in o], [x[1] for x in o]
-        lo, hi = mat_mul(lo, hi, m_base)
-        return tuple(lo), tuple(hi)
+    row0 = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0) == 0
 
-    # first half: HALF_F-1 M-rounds with C rows 1..HALF_F-1
-    st = jax.lax.fori_loop(
-        0, HALF_F - 1,
-        lambda r, c: full_round(r, c, _OFF_C + T, _OFF_M),
-        (tuple(lo), tuple(hi)),
-    )
-    lo, hi = list(st[0]), list(st[1])
+    def partial_round(r, st):
+        x0 = pow7_st((st[0][0:1, :], st[1][0:1, :]))
+        c = r + _C_PARTIAL0
+        x0 = add_pair(x0, (c_lo[0:1, c : c + 1], c_hi[0:1, c : c + 1]))
+        stl = jnp.where(row0, x0[0], st[0])
+        sth = jnp.where(row0, x0[1], st[1])
+        # new0 = Σ_j st[j] · Sa[j]: one (12, B) mul + a log-tree GL fold
+        pr = _mul(stl, sth, sa_lo[:, r : r + 1], sa_hi[:, r : r + 1])
+        plo, phi = pr
+        w = T
+        # pad the 12 rows to 16 with zeros, then halve four times
+        plo = jnp.pad(plo, ((0, 4), (0, 0)))
+        phi = jnp.pad(phi, ((0, 4), (0, 0)))
+        w = 16
+        while w > 1:
+            h = w // 2
+            plo, phi = _add(plo[:h, :], phi[:h, :], plo[h:w, :], phi[h:w, :])
+            w = h
+        # st[k] += x0 · Sb[k]  (Sb row 0 = 0 keeps row 0 untouched)
+        upd = _mul(x0[0], x0[1], sb_lo[:, r : r + 1], sb_hi[:, r : r + 1])
+        stl, sth = _add(stl, sth, upd[0], upd[1])
+        stl = jnp.where(row0, plo, stl)
+        sth = jnp.where(row0, phi, sth)
+        return (stl, sth)
 
-    # bridge round: pow7 + C row HALF_F + P matrix
-    lo, hi = pow7_all(lo, hi)
-    lo, hi = add_crow(lo, hi, _OFF_C + HALF_F * T)
-    lo, hi = mat_mul(lo, hi, _OFF_P)
+    for r in range(RP):
+        st = partial_round(r, st)
 
-    # partial rounds: sparse S-matrix updates
-    def partial_round(r, carry):
-        lo, hi = list(carry[0]), list(carry[1])
-        x0 = _pow7(lo[0], hi[0])
-        x0 = addc(x0, _OFF_C + (HALF_F + 1) * T + r)
-        lo[0], hi[0] = x0
-        s_base = _OFF_S + (2 * T - 1) * r
-        new0 = mulc((lo[0], hi[0]), s_base)
-        for j in range(1, T):
-            term = mulc((lo[j], hi[j]), s_base + j)
-            new0 = _add(new0[0], new0[1], term[0], term[1])
-        for k in range(1, T):
-            term = mulc(x0, s_base + T + k - 1)
-            lo[k], hi[k] = _add(lo[k], hi[k], term[0], term[1])
-        lo[0], hi[0] = new0
-        return tuple(lo), tuple(hi)
+    for r in range(HALF_F - 1):
+        st = full_round(r, st, _C_SECOND0, mt_lo, mt_hi)
+    st = pow7_st(st)
+    st = mat_mul(st, mt_lo, mt_hi)
 
-    st = jax.lax.fori_loop(0, RP, partial_round, (tuple(lo), tuple(hi)))
-
-    # second half: HALF_F-1 M-rounds, then the explicit tail pow7 + M
-    c2_base = _OFF_C + (HALF_F + 1) * T + RP
-    st = jax.lax.fori_loop(
-        0, HALF_F - 1,
-        lambda r, c: full_round(r, c, c2_base, _OFF_M),
-        st,
-    )
-    lo, hi = list(st[0]), list(st[1])
-    lo, hi = pow7_all(lo, hi)
-    lo, hi = mat_mul(lo, hi, _OFF_M)
-
-    for i in range(T):
-        out_lo_ref[i, :] = lo[i]
-        out_hi_ref[i, :] = hi[i]
+    out_lo_ref[:] = st[0]
+    out_hi_ref[:] = st[1]
 
 
 @functools.lru_cache(maxsize=None)
 def _pallas_permute(n_blocks: int, interpret: bool):
     grid = (n_blocks,)
     spec = pl.BlockSpec((T, _BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec(
-        (_N_CONST,), lambda i: (0,), memory_space=pltpu.SMEM
-    )
+
+    def cspec(cols):
+        return pl.BlockSpec((T, cols), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    k = _const_planes()
+    n_c = k["c"][0].shape[1]
+    consts_spec = [
+        cspec(n_c), cspec(n_c), cspec(T), cspec(T), cspec(T), cspec(T),
+        cspec(RP), cspec(RP), cspec(RP), cspec(RP),
+    ]
     return jax.jit(
-        lambda clo, chi, lo, hi: pl.pallas_call(
+        lambda consts, lo, hi: pl.pallas_call(
             _kernel,
             grid=grid,
-            in_specs=[cspec, cspec, spec, spec],
+            in_specs=consts_spec + [spec, spec],
             out_specs=[spec, spec],
             out_shape=[
                 jax.ShapeDtypeStruct((T, n_blocks * _BLOCK), jnp.uint32),
                 jax.ShapeDtypeStruct((T, n_blocks * _BLOCK), jnp.uint32),
             ],
             interpret=interpret,
-        )(clo, chi, lo, hi)
+        )(*consts, lo, hi)
     )
 
 
 def _permute_planes(lo, hi, interpret: bool):
     """(12, B) u32 limb planes -> permuted planes; B a _BLOCK multiple."""
-    clo, chi = _const_planes()
-    return _pallas_permute(lo.shape[1] // _BLOCK, interpret)(
-        jnp.asarray(clo), jnp.asarray(chi), lo, hi
+    k = _const_planes()
+    consts = tuple(
+        jnp.asarray(x)
+        for key in ("c", "mt", "pt", "sa", "sb")
+        for x in k[key]
     )
+    return _pallas_permute(lo.shape[1] // _BLOCK, interpret)(consts, lo, hi)
 
 
 # Batch-size buckets: every dispatch pads to one of THREE fixed batch

@@ -414,45 +414,71 @@ def merkelize(elements, width: int, height: int, split: bool = False) -> DeviceT
     return DeviceTree(width=width, height=height, elements=elements, levels=levels)
 
 
-@functools.lru_cache(maxsize=None)
-def _jit_gather(n_levels: int):
-    """Batched query gather: elements rows + sibling path per query index,
-    in ONE device program returning ONE flat (Q, width + 4·n_levels) pair —
-    a single host transfer for all queries of a tree (each extra transfer
-    rides the tunnel round-trip in remote-TPU deployments)."""
-
-    def body(elements, levels, idxs):
-        parts_lo = [jnp.take(elements[0], idxs, axis=0)]
-        parts_hi = [jnp.take(elements[1], idxs, axis=0)]
-        cur = idxs
-        for l in range(n_levels):
-            sib_idx = cur ^ 1
-            parts_lo.append(jnp.take(levels[l][0], sib_idx, axis=0))
-            parts_hi.append(jnp.take(levels[l][1], sib_idx, axis=0))
-            cur = cur >> 1
-        return (
-            jnp.concatenate(parts_lo, axis=1),
-            jnp.concatenate(parts_hi, axis=1),
-        )
-
-    return jax.jit(body)
-
-
 def gather_group_proofs(tree: DeviceTree, idxs):
     """Returns [(values, [sibling digests])] per idx, matching
     merkle.get_group_proof (merklehash_p.js:142-168) bit-exactly."""
-    idxs = np.asarray(idxs, dtype=np.int32)
-    n_levels = len(tree.levels) - 1
-    flat = _jit_gather(n_levels)(
-        tree.elements, tuple(tree.levels[:-1]), jnp.asarray(idxs)
+    return gather_group_proofs_multi([tree], [idxs])[0]
+
+
+def _tree_flat_gather(elements, levels, idxs):
+    """Values row + sibling path per query of one tree, as a flat
+    (Q, width + 4·n_levels) pair (traced building block)."""
+    parts_lo = [jnp.take(elements[0], idxs, axis=0)]
+    parts_hi = [jnp.take(elements[1], idxs, axis=0)]
+    cur = idxs
+    for lvl in levels:
+        sib_idx = cur ^ 1
+        parts_lo.append(jnp.take(lvl[0], sib_idx, axis=0))
+        parts_hi.append(jnp.take(lvl[1], sib_idx, axis=0))
+        cur = cur >> 1
+    return (
+        jnp.concatenate(parts_lo, axis=1),
+        jnp.concatenate(parts_hi, axis=1),
     )
-    flat_np = gl.to_u64(flat)  # (Q, width + 4*n_levels)
-    w = tree.width
-    out = []
-    for qi in range(len(idxs)):
-        row = flat_np[qi]
-        proof = [
-            row[w + 4 * l : w + 4 * (l + 1)].copy() for l in range(n_levels)
-        ]
-        out.append((row[:w].copy(), proof))
-    return out
+
+
+@jax.jit
+def _jit_gather_multi(trees, idx_arrays):
+    """ALL query gathers of ALL trees in ONE device program returning ONE
+    flat (Q, Σ(width + 4·n_levels)) pair — a single dispatch and a single
+    host transfer for the whole queries phase (the per-tree version cost
+    one tunnel round-trip per tree: ~10 trees ≈ 0.45 s of the round-3
+    2^20 prove)."""
+    outs = [
+        _tree_flat_gather(elements, levels, idxs)
+        for (elements, levels), idxs in zip(trees, idx_arrays)
+    ]
+    return (
+        jnp.concatenate([o[0] for o in outs], axis=1),
+        jnp.concatenate([o[1] for o in outs], axis=1),
+    )
+
+
+def gather_group_proofs_multi(trees, idxs_list):
+    """Batched gather_group_proofs over several DeviceTrees (one device
+    program + one host transfer); returns one [(values, proof)] list per
+    tree, bit-identical to per-tree gathers."""
+    args = tuple(
+        (t.elements, tuple(t.levels[:-1])) for t in trees
+    )
+    idx_arrays = tuple(
+        jnp.asarray(np.asarray(i, dtype=np.int32)) for i in idxs_list
+    )
+    flat_np = gl.to_u64(_jit_gather_multi(args, idx_arrays))
+    results = []
+    off = 0
+    for t, idxs in zip(trees, idxs_list):
+        w = t.width
+        n_levels = len(t.levels) - 1
+        span = w + 4 * n_levels
+        out = []
+        for qi in range(len(idxs)):
+            row = flat_np[qi, off : off + span]
+            proof = [
+                row[w + 4 * l : w + 4 * (l + 1)].copy()
+                for l in range(n_levels)
+            ]
+            out.append((row[:w].copy(), proof))
+        results.append(out)
+        off += span
+    return results

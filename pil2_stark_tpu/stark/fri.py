@@ -142,22 +142,49 @@ class FRI:
         return {"pol": pol2_np, "tree": None, "proof": proof}
 
     def proof_queries(self, proof, trees, fri_queries):
-        """fri.js:83-105 — mutates fri_queries (index folding) like the JS."""
+        """fri.js:83-105 — mutates fri_queries (index folding) like the JS.
+
+        All (tree, folded-index) jobs are collected first and extracted in
+        ONE batched gather (one device program + one host transfer on the
+        device backend — the per-tree version paid a tunnel round-trip per
+        tree), then scattered back into the per-step proof layout."""
+        jobs = []  # (tree, idxs tuple)
         for step in range(len(self.steps)):
             if step == 0:
-                per_tree = [
-                    self.mh.get_group_proofs(t, fri_queries) for t in trees[step]
-                ]
-                proof[step]["polQueries"] = [
-                    [per_tree[t][qi] for t in range(len(trees[step]))]
-                    for qi in range(len(fri_queries))
-                ]
+                for t in trees[step]:
+                    jobs.append((t, tuple(fri_queries)))
             else:
                 for i in range(len(fri_queries)):
                     fri_queries[i] = fri_queries[i] % (1 << self.steps[step]["nBits"])
-                proof[step]["polQueries"] = self.mh.get_group_proofs(
-                    trees[step], fri_queries
-                )
+                jobs.append((trees[step], tuple(fri_queries)))
+
+        per_job = self._gather_jobs(jobs)
+
+        k = 0
+        for step in range(len(self.steps)):
+            if step == 0:
+                n_t = len(trees[step])
+                per_tree = per_job[:n_t]
+                k = n_t
+                proof[step]["polQueries"] = [
+                    [per_tree[t][qi] for t in range(n_t)]
+                    for qi in range(len(fri_queries))
+                ]
+            else:
+                proof[step]["polQueries"] = per_job[k]
+                k += 1
+
+    def _gather_jobs(self, jobs):
+        from ..stark import device as _device
+
+        if getattr(self.mh, "hash_type", None) == "GL" and all(
+            isinstance(t, _device.DeviceTree) for t, _ in jobs
+        ):
+            res = _device.gather_group_proofs_multi(
+                [t for t, _ in jobs], [list(i) for _, i in jobs]
+            )
+            return [[[v, p] for v, p in r] for r in res]
+        return [self.mh.get_group_proofs(t, list(i)) for t, i in jobs]
 
     def verify(self, fri_challenges, fri_queries, proof, check_query):
         """fri.js:107-174.  proof is the prover's fri list: [step0, step1,

@@ -126,3 +126,63 @@ def test_bn128_verifier_rejects_corrupted_proof(bn_proof):
         cf.compile_and_witness(
             {"verifier.circom": src}, "verifier.circom", bad, prime=cf.BN254_FR
         )
+
+
+@pytest.fixture(scope="module")
+def bn_custom_proof():
+    """merkleTreeCustom proof (arity-4 trees, custom-padded linear hash,
+    custom-arity transcript) + its custom-gate verifier circuit
+    (reference circuits.bn128/custom/, selected by pil2circom.js:25-26)."""
+    pil = pil1_parser.compile_pil_source(fibonacci.pil_source(6))
+    pil["name"] = "Fibonacci"
+    n = 64
+    const_cols = witness.generate_fixed_cols(pil["references"], n)
+    fibonacci.build_constants(n, const_cols.Fibonacci)
+    cm_cols = witness.generate_wtns_cols(pil["references"], n)
+    out = fibonacci.execute(n, cm_cols.Fibonacci, [1, 2])
+    ss = dict(fibonacci.STARK_STRUCT)
+    ss["verificationHashType"] = "BN128"
+    ss["merkleTreeArity"] = 4
+    ss["merkleTreeCustom"] = True
+    ss["nQueries"] = 4
+    s = stark_setup.stark_setup(const_cols.buffer, pil, ss)
+    res = prover.prove(
+        s["starkInfo"], s["expressionsInfo"], const_cols.buffer, s["constTree"],
+        (cm_cols.buffer, [1, 2, out]),
+    )
+    assert verifier.verify(
+        res["proof"], res["publics"], s["constRoot"], s["starkInfo"],
+        s["verifierInfo"],
+    )
+    src = pil2circom.pil2circom(s["constRoot"], s["starkInfo"], s["verifierInfo"])
+    zkin = proof2zkin(res["proof"], s["starkInfo"])
+    zkin["publics"] = [int(p) for p in res["publics"]]
+    return src, zkin, s, res
+
+
+def test_bn128_custom_verifier_accepts_real_proof(bn_custom_proof):
+    src, zkin, s, res = bn_custom_proof
+    assert "pragma custom_templates;" in src
+    assert "template custom PoseidonT(t)" in src
+    assert "PoseidonBN17" not in src  # every hash rides the custom gate
+    cc = cf.compile_and_witness(
+        {"verifier.circom": src}, "verifier.circom", zkin, prime=cf.BN254_FR
+    )
+    assert cc.check()
+    # the custom gate is recorded for the final-tier plonkish setup
+    # (final/plonksetup.py custom_gates_info matches by name)
+    names = [g["template"] for g in cc.custom_gates]
+    assert "PoseidonT" in names
+    assert len(cc.custom_uses) > 0
+
+
+def test_bn128_custom_verifier_rejects_corrupted_proof(bn_custom_proof):
+    src, zkin, s, res = bn_custom_proof
+    bad = dict(zkin)
+    bad["evals"] = [list(e) for e in zkin["evals"]]
+    bad["evals"][0] = list(bad["evals"][0])
+    bad["evals"][0][0] = (bad["evals"][0][0] + 1) % P_GL
+    with pytest.raises(AssertionError):
+        cf.compile_and_witness(
+            {"verifier.circom": src}, "verifier.circom", bad, prime=cf.BN254_FR
+        )
