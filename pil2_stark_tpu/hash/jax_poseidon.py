@@ -263,13 +263,23 @@ def _jit_linear_hash(width: int, split: bool):
 def _hash_level_all(dlo, dhi):
     """(2m, 4) interleaved level -> (m, 4) parent digests, ONE dispatch.
 
-    jit specializes per level size, but the traced program is a single
-    permutation, so compiles stay trivial; sizes are shared across every
-    tree in the process (level m of a 2^21 tree == level m+4 of a 2^17
-    tree).  Per-dispatch chunking (round 2) sent ~2·H/8192 programs per
-    tree through the device tunnel — the dispatch storm, not hashing,
-    dominated tree builds on remote-device deployments."""
-    return hash_pairs((dlo[0::2], dhi[0::2]), (dlo[1::2], dhi[1::2]))
+    Sibling digests are CONSECUTIVE rows, so the pair layout is the free
+    row-major reshape (2m, 4) -> (m, 8) — strided [0::2]/[1::2] slices
+    (round 3) cost two full gather relayouts and ran the level hash at
+    half the raw kernel rate.  jit specializes per level size, but the
+    traced program is a single permutation, so compiles stay trivial;
+    sizes are shared across every tree in the process (level m of a 2^21
+    tree == level m+4 of a 2^17 tree).  Per-dispatch chunking (round 2)
+    sent ~2·H/8192 programs per tree through the device tunnel — the
+    dispatch storm, not hashing, dominated remote-device tree builds."""
+    m = dlo.shape[0] // 2
+    z = jnp.zeros((m, 4), dtype=jnp.uint32)
+    st = (
+        jnp.concatenate([dlo.reshape(m, 8), z], axis=1),
+        jnp.concatenate([dhi.reshape(m, 8), z], axis=1),
+    )
+    out = permute(st)
+    return (out[0][:, :4], out[1][:, :4])
 
 
 def _hash_level(dlo, dhi):

@@ -1,4 +1,4 @@
-"""Poseidon-GL permutation as a Pallas TPU kernel.
+"""Poseidon-GL permutation as a Pallas TPU kernel (MXU linear maps).
 
 The batched permutation is the inner loop of Merkle tree builds (SURVEY.md
 §3.2 hot loop #2).  The jnp/XLA path (jax_poseidon) is a chain of ~90
@@ -8,13 +8,18 @@ HBM read and one write per state.
 
 Layout: the batch is split into blocks of `_BLOCK` states; each block is a
 (12, _BLOCK) u32 limb plane pair (state elements on sublanes, batch on
-lanes) so every round op is a full-width (12, B) vector op — an earlier
-per-row formulation used one sublane of eight and lost to the jnp path.
-The 30 rounds are Python-unrolled with STATIC constant-column slices
-(Mosaic rejects dynamic lane slices); the vectorized body is small enough
-(~15k vector ops) that the unrolled kernel still compiles in seconds, and
-permute_pair pads every batch to one of three fixed buckets so the process
-compiles at most three kernel shapes.
+lanes), zero-padded to 16 rows in-kernel so every MXU operand is
+tile-aligned.  Every GL *linear map* in the permutation — the MDS multiply
+of the full rounds, the bridge P matrix, and the whole linear part of each
+partial round — runs on the MXU as an exact s8 x s8 -> s32 limb-stacked
+matmul (ops/gl_mxu): the VPU only computes sboxes, constant adds, and the
+limb extract/recombine around each matmul (~6x fewer vector ops per round
+than the broadcast-multiply formulation; the GL multiply itself has no
+native dtype, so the systolic array is otherwise idle during hashing).
+The 30 rounds are Python-unrolled with STATIC constant slices (Mosaic
+rejects dynamic lane/sublane slices), and permute_pair pads every batch to
+one of three fixed buckets so the process compiles at most three kernel
+shapes.
 
 Differentially tested against the numpy oracle / golden digests
 (tests/test_pallas_poseidon.py, hardware-only) — bit-exact.
@@ -30,6 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import poseidon_gl as ref
+from ..ops import gl_mxu
 
 T = 12
 HALF_F = ref.N_ROUNDS_F // 2
@@ -135,16 +141,25 @@ def _pow7(lo, hi):
 
 
 # ---------------------------------------------------------------------------
-# constant tables as (12, n) u32 limb planes — COLUMN vectors over the
-# state dimension, so every kernel op is a full (12, B) vector op (a per-row
-# formulation ran on one sublane of eight and lost to the jnp path):
-#   C_t:  (12, n_rounds_with_c)  round constants, one column per add-round
-#   Mt:   (12, 12)  MDS transposed — Mt[:, j] = M[j, :] (out contribution
-#         of state row j), so the matmul is Σ_j bcast(st[j]) · Mt[:, j]
-#   Pt:   (12, 12)  same for the sparse-entry P matrix bridge round
-#   Sa:   (12, RP)  partial-round dot coefficients S[23r + j]
-#   Sb:   (12, RP)  partial-round update coefficients (row 0 zero,
-#         row k = S[23r + T + k - 1])
+# constant tables:
+#   C_t:  (16, n_rounds_with_c) u32 limb planes — round-constant COLUMNS
+#         over a zero-padded 16-row state (sublane granularity is 8, so
+#         padding 12 -> 16 costs nothing on the VPU and makes every
+#         int8/i32 operand tile-aligned for the MXU path).
+#   Wq_m / Wq_p: (160, 160) int8 — the MDS / bridge matrices quantized by
+#         ops/gl_mxu.quantize_matrix (7-bit limb-stacked), acting on column
+#         states: out = M^T @ st  (same convention as the jnp _mat_mul).
+#   Wq_s: (RP·160, 160) int8 — one matrix PER PARTIAL ROUND.  Round r's
+#         linear part is itself a 12x12 GL matrix A_r (identity except
+#         row 0 = Sa_r and column 0 rows 1.. = Sb_r), so the whole partial
+#         round after the row-0 sbox is ONE MXU matmul:
+#             new = A_r @ st'    (st' = st with row0 <- pow7(st0) + c_r)
+#         A_r[0, j] = S[23r + j];  A_r[k, 0] = S[23r + T + k - 1];
+#         A_r[k, k] = 1 (k >= 1) — matching the reference's Sa-dot +
+#         Sb-update partial-round form (poseidon.js:89-98) bit-exactly.
+
+T_PAD = 16
+_NLROWS = gl_mxu.NL * T_PAD  # 160 int8 rows per quantized operand
 
 
 @functools.lru_cache(maxsize=None)
@@ -170,18 +185,34 @@ def _const_planes():
     base = (HALF_F + 1) * T + RP
     for r in range(HALF_F - 1):
         cols.append(C[base + r * T : base + (r + 1) * T])
-    c_t = np.stack(cols, axis=1)  # (12, n_cols)
-    sa = S[:, :T].T.copy()  # (12, RP)
-    sb = np.zeros((T, RP), dtype=np.uint64)
-    sb[1:, :] = S[:, T:].T
+    c_t = np.zeros((T_PAD, len(cols)), dtype=np.uint64)
+    c_t[:T] = np.stack(cols, axis=1)
+
+    def quant16(w):
+        wp = np.zeros((T_PAD, T_PAD), dtype=np.uint64)
+        wp[: w.shape[0], : w.shape[1]] = w
+        return gl_mxu.quantize_matrix(wp)
+
+    a_rs = []
+    for r in range(RP):
+        a = np.zeros((T, T), dtype=np.uint64)
+        a[0, :] = S[r, :T]
+        for k in range(1, T):
+            a[k, k] = 1
+            a[k, 0] = S[r, T + k - 1]
+        a_rs.append(quant16(a))
+
     def pair(a):
         return (
             (a & np.uint64(0xFFFFFFFF)).astype(np.uint32),
             (a >> np.uint64(32)).astype(np.uint32),
         )
+
     return {
-        "c": pair(c_t), "mt": pair(M.T.copy()), "pt": pair(P.T.copy()),
-        "sa": pair(sa), "sb": pair(sb),
+        "c": pair(c_t),
+        "wq_m": quant16(M.T.copy()),
+        "wq_p": quant16(P.T.copy()),
+        "wq_s": np.concatenate(a_rs, axis=0),
     }
 
 
@@ -189,44 +220,48 @@ _C_PARTIAL0 = HALF_F + 1  # first partial-round column in C_t
 _C_SECOND0 = _C_PARTIAL0 + RP
 
 
-def _kernel(c_lo, c_hi, mt_lo, mt_hi, pt_lo, pt_hi, sa_lo, sa_hi,
-            sb_lo, sb_hi, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
-    """30-round permutation on a (12, _BLOCK) block, all (12, B) vector ops."""
+def _kernel(c_lo, c_hi, wq_m, wq_p, wq_s, lo_ref, hi_ref,
+            out_lo_ref, out_hi_ref):
+    """30-round permutation on a (16, _BLOCK) zero-padded block: sboxes on
+    the VPU, every linear map as one exact int8 limb matmul on the MXU."""
 
     def c_col(r):
-        # static round index: (12, 1) constant column (Mosaic rejects
+        # static round index: (16, 1) constant column (Mosaic rejects
         # dynamic lane slices, so the round loops are Python-unrolled)
         return c_lo[:, r : r + 1], c_hi[:, r : r + 1]
 
     def add_pair(a, b):
         return _add(a[0], a[1], b[0], b[1])
 
-    def mat_mul(st, t_lo, t_hi):
-        acc = None
-        for j in range(T):
-            row = (st[0][j : j + 1, :], st[1][j : j + 1, :])
-            col = (t_lo[:, j : j + 1], t_hi[:, j : j + 1])
-            term = _mul(row[0], row[1], col[0], col[1])
-            acc = term if acc is None else add_pair(acc, term)
-        return acc
+    def mxu_mat(st, wq):
+        xl = gl_mxu.extract_limbs(st[0], st[1])  # (160, B) int8
+        y = jax.lax.dot_general(
+            wq, xl, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return gl_mxu.recombine(y, T_PAD)
 
     def pow7_st(st):
         return _pow7(st[0], st[1])
 
-    st = (lo_ref[:], hi_ref[:])
+    # zero-pad the 12-row block to 16 rows; the pad rows stay zero through
+    # every round (quantized matrices have zero pad rows/cols, constant
+    # columns pad with zeros, 0^7 = 0)
+    zpad = ((0, T_PAD - T), (0, 0))
+    st = (jnp.pad(lo_ref[:], zpad), jnp.pad(hi_ref[:], zpad))
     st = add_pair(st, c_col(0))
 
-    def full_round(r, st, c_off, t_lo, t_hi):
+    def full_round(r, st, c_off, wq):
         st = pow7_st(st)
         st = add_pair(st, c_col(r + c_off))
-        return mat_mul(st, t_lo, t_hi)
+        return mxu_mat(st, wq)
 
     for r in range(HALF_F - 1):
-        st = full_round(r, st, 1, mt_lo, mt_hi)
+        st = full_round(r, st, 1, wq_m[:])
     # bridge round: pow7 + C col HALF_F + P matrix
-    st = full_round(HALF_F - 1, st, 1, pt_lo, pt_hi)
+    st = full_round(HALF_F - 1, st, 1, wq_p[:])
 
-    row0 = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0) == 0
+    row0 = jax.lax.broadcasted_iota(jnp.int32, (T_PAD, 1), 0) == 0
 
     def partial_round(r, st):
         x0 = pow7_st((st[0][0:1, :], st[1][0:1, :]))
@@ -234,35 +269,19 @@ def _kernel(c_lo, c_hi, mt_lo, mt_hi, pt_lo, pt_hi, sa_lo, sa_hi,
         x0 = add_pair(x0, (c_lo[0:1, c : c + 1], c_hi[0:1, c : c + 1]))
         stl = jnp.where(row0, x0[0], st[0])
         sth = jnp.where(row0, x0[1], st[1])
-        # new0 = Σ_j st[j] · Sa[j]: one (12, B) mul + a log-tree GL fold
-        pr = _mul(stl, sth, sa_lo[:, r : r + 1], sa_hi[:, r : r + 1])
-        plo, phi = pr
-        w = T
-        # pad the 12 rows to 16 with zeros, then halve four times
-        plo = jnp.pad(plo, ((0, 4), (0, 0)))
-        phi = jnp.pad(phi, ((0, 4), (0, 0)))
-        w = 16
-        while w > 1:
-            h = w // 2
-            plo, phi = _add(plo[:h, :], phi[:h, :], plo[h:w, :], phi[h:w, :])
-            w = h
-        # st[k] += x0 · Sb[k]  (Sb row 0 = 0 keeps row 0 untouched)
-        upd = _mul(x0[0], x0[1], sb_lo[:, r : r + 1], sb_hi[:, r : r + 1])
-        stl, sth = _add(stl, sth, upd[0], upd[1])
-        stl = jnp.where(row0, plo, stl)
-        sth = jnp.where(row0, phi, sth)
-        return (stl, sth)
+        # whole linear part (Sa dot + Sb column update) as one matmul
+        return mxu_mat((stl, sth), wq_s[r * _NLROWS : (r + 1) * _NLROWS, :])
 
     for r in range(RP):
         st = partial_round(r, st)
 
     for r in range(HALF_F - 1):
-        st = full_round(r, st, _C_SECOND0, mt_lo, mt_hi)
+        st = full_round(r, st, _C_SECOND0, wq_m[:])
     st = pow7_st(st)
-    st = mat_mul(st, mt_lo, mt_hi)
+    st = mxu_mat(st, wq_m[:])
 
-    out_lo_ref[:] = st[0]
-    out_hi_ref[:] = st[1]
+    out_lo_ref[:] = st[0][:T]
+    out_hi_ref[:] = st[1][:T]
 
 
 @functools.lru_cache(maxsize=None)
@@ -270,15 +289,16 @@ def _pallas_permute(n_blocks: int, interpret: bool):
     grid = (n_blocks,)
     spec = pl.BlockSpec((T, _BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
 
-    def cspec(cols):
-        return pl.BlockSpec((T, cols), lambda i: (0, 0),
+    def cspec(rows, cols):
+        return pl.BlockSpec((rows, cols), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
 
     k = _const_planes()
     n_c = k["c"][0].shape[1]
     consts_spec = [
-        cspec(n_c), cspec(n_c), cspec(T), cspec(T), cspec(T), cspec(T),
-        cspec(RP), cspec(RP), cspec(RP), cspec(RP),
+        cspec(T_PAD, n_c), cspec(T_PAD, n_c),
+        cspec(_NLROWS, _NLROWS), cspec(_NLROWS, _NLROWS),
+        cspec(RP * _NLROWS, _NLROWS),
     ]
     return jax.jit(
         lambda consts, lo, hi: pl.pallas_call(
@@ -298,10 +318,10 @@ def _pallas_permute(n_blocks: int, interpret: bool):
 def _permute_planes(lo, hi, interpret: bool):
     """(12, B) u32 limb planes -> permuted planes; B a _BLOCK multiple."""
     k = _const_planes()
-    consts = tuple(
-        jnp.asarray(x)
-        for key in ("c", "mt", "pt", "sa", "sb")
-        for x in k[key]
+    consts = (
+        jnp.asarray(k["c"][0]), jnp.asarray(k["c"][1]),
+        jnp.asarray(k["wq_m"]), jnp.asarray(k["wq_p"]),
+        jnp.asarray(k["wq_s"]),
     )
     return _pallas_permute(lo.shape[1] // _BLOCK, interpret)(consts, lo, hi)
 

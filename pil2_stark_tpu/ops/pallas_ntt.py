@@ -36,8 +36,65 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..field import gl64
 from ..field import jax_gl as gl
+from . import gl_mxu
 
 _TILE = 128  # lanes per block; (4096, 128) u32 ×2 limbs = 4 MB in VMEM
+
+# ---------------------------------------------------------------------------
+# MXU stage-group: on bit-reversed DIT input the first 7 stages act
+# independently within every aligned 128-row group, i.e. they are ONE
+# shared 128x128 GL matrix D (the product of the stage-1..7 butterfly
+# maps).  D rides the MXU as an exact s8 x s8 -> s32 limb-stacked matmul
+# (ops/gl_mxu): ~70 VPU ops/point of extract/recombine replace ~3.5 GL
+# muls/point (~230 ops) of butterflies, and the multiplies move to the
+# otherwise-idle systolic array.  Remaining stages (8..bits) stay on the
+# fused-pair butterfly path below.
+
+_GRP_BITS = 7
+_GRP = 1 << _GRP_BITS
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_grp_quant(inverse: bool) -> np.ndarray:
+    """Quantized (1280, 1280) int8 limb matrix of the stage-1..7 product."""
+    m = np.zeros((_GRP, _GRP), dtype=np.uint64)
+    np.fill_diagonal(m, 1)
+    n = _GRP
+    for s in range(1, _GRP_BITS + 1):
+        blk = 1 << s
+        half = blk >> 1
+        w = gl64.w_inv(s) if inverse else gl64.w(s)
+        tw = gl64.powers(w, half)[None, :, None]
+        v = m.reshape(n // blk, blk, -1)
+        u = v[:, :half]
+        t = gl64.mul(tw, v[:, half:])
+        m = np.concatenate(
+            [gl64.add(u, t), gl64.sub(u, t)], axis=1
+        ).reshape(n, -1)
+    return gl_mxu.quantize_matrix(m)
+
+
+def _dft_wq(inverse: bool):
+    return jnp.asarray(_dft_grp_quant(inverse))
+
+
+def _grp_mxu(dft_ref, lo, hi, n: int, b: int):
+    """Apply the 7-stage group transform to every 128-row group of an
+    (n, b) block via one limb matmul (relayout groups onto lanes)."""
+    g = n // _GRP
+    if g > 1:
+        lo = jnp.swapaxes(lo.reshape(g, _GRP, b), 0, 1).reshape(_GRP, g * b)
+        hi = jnp.swapaxes(hi.reshape(g, _GRP, b), 0, 1).reshape(_GRP, g * b)
+    xl = gl_mxu.extract_limbs(lo, hi)
+    y = jax.lax.dot_general(
+        dft_ref[:], xl, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    lo, hi = gl_mxu.recombine(y, _GRP)
+    if g > 1:
+        lo = jnp.swapaxes(lo.reshape(_GRP, g, b), 0, 1).reshape(n, b)
+        hi = jnp.swapaxes(hi.reshape(_GRP, g, b), 0, 1).reshape(n, b)
+    return lo, hi
 
 
 @functools.lru_cache(maxsize=None)
@@ -63,12 +120,24 @@ def _roll(x, shift: int):
 
 
 def _make_kernel(bits: int):
-    def kernel(tw_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
-        lo, hi = _butterflies(tw_ref, lo_ref[:], hi_ref[:], bits)
-        out_lo_ref[:] = lo
-        out_hi_ref[:] = hi
+    if bits >= _GRP_BITS:
+        def kernel(tw_ref, dft_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
+            lo, hi = _butterflies(tw_ref, lo_ref[:], hi_ref[:], bits, dft_ref)
+            out_lo_ref[:] = lo
+            out_hi_ref[:] = hi
+    else:
+        def kernel(tw_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
+            lo, hi = _butterflies(tw_ref, lo_ref[:], hi_ref[:], bits)
+            out_lo_ref[:] = lo
+            out_hi_ref[:] = hi
 
     return kernel
+
+
+def _dft_spec():
+    nl = gl_mxu.NL * _GRP
+    return pl.BlockSpec((nl, nl), lambda *idx: (0, 0),
+                        memory_space=pltpu.VMEM)
 
 
 @functools.lru_cache(maxsize=None)
@@ -78,10 +147,12 @@ def _pallas_base(bits: int, n_blocks: int, interpret: bool):
                              memory_space=pltpu.VMEM)
     tw_spec = pl.BlockSpec((n, 2 * bits), lambda i: (0, 0),
                            memory_space=pltpu.VMEM)
+    mxu = bits >= _GRP_BITS
     return pl.pallas_call(
         _make_kernel(bits),
         grid=(n_blocks,),
-        in_specs=[tw_spec, data_spec, data_spec],
+        in_specs=[tw_spec] + ([_dft_spec()] if mxu else [])
+        + [data_spec, data_spec],
         out_specs=[data_spec, data_spec],
         out_shape=[
             jax.ShapeDtypeStruct((n, n_blocks * _TILE), jnp.uint32),
@@ -134,21 +205,26 @@ def _tw_slice(tw_ref, s: int, half: int, lo_rows: int):
     return tlo, thi
 
 
-def _butterflies(tw_ref, lo, hi, bits: int):
+def _butterflies(tw_ref, lo, hi, bits: int, dft_ref=None):
     """DIT butterfly network on bit-reversed input, natural-order output.
 
-    Stages with half < 8 run the roll formulation; aligned stages run a
-    sliced-block formulation that multiplies ONLY the rows whose products
-    are consumed (the roll form multiplies every row — half the muls are
-    discarded), and consecutive aligned stages are FUSED IN PAIRS, reusing
-    the stage-s products for both x1 and x3 sub-blocks: 4 twiddle muls per
-    4·half rows per 2 stages instead of 8.  GL muls dominate the VPU cost
-    (~65 u32 ops vs ~10 for add/sub), so this roughly halves stage cost."""
+    With dft_ref (bits >= 7) the first 7 stages run as one MXU limb
+    matmul per 128-row group (_grp_mxu).  Remaining stages: half < 8 runs
+    the roll formulation; aligned stages run a sliced-block formulation
+    that multiplies ONLY the rows whose products are consumed (the roll
+    form multiplies every row — half the muls are discarded), and
+    consecutive aligned stages are FUSED IN PAIRS, reusing the stage-s
+    products for both x1 and x3 sub-blocks: 4 twiddle muls per 4·half rows
+    per 2 stages instead of 8.  GL muls dominate the VPU cost (~65 u32 ops
+    vs ~10 for add/sub), so this roughly halves stage cost."""
     n = 1 << bits
     row = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     b = lo.shape[1]
 
     s = 1
+    if dft_ref is not None and bits >= _GRP_BITS:
+        lo, hi = _grp_mxu(dft_ref, lo, hi, n, b)
+        s = _GRP_BITS + 1
     while s <= bits and (1 << (s - 1)) < 8:
         lo, hi = _stage_roll(tw_ref, lo, hi, s, n, row)
         s += 1
@@ -216,15 +292,22 @@ def _butterflies(tw_ref, lo, hi, bits: int):
 def _make_level_planar_kernel(bits: int):
     n = 1 << bits
 
-    def kernel(tw_ref, lt_ref, ht_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
-        lo, hi = _butterflies(tw_ref, lo_ref[:], hi_ref[:], bits)
+    def kernel_mxu(tw_ref, dft_ref, lt_ref, ht_ref, lo_ref, hi_ref,
+                   out_lo_ref, out_hi_ref):
+        lo, hi = _butterflies(tw_ref, lo_ref[:], hi_ref[:], bits, dft_ref)
         # level twiddle w^{o1·i2}: (n1, 128) slice of the (n1, n2) table
         lo, hi = gl.mul((lo, hi), (lt_ref[:], ht_ref[:]))
         # inter-level transpose (n1, 128) -> (128, n1)
         out_lo_ref[:] = jnp.transpose(lo, (1, 0))
         out_hi_ref[:] = jnp.transpose(hi, (1, 0))
 
-    return kernel
+    def kernel(tw_ref, lt_ref, ht_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
+        lo, hi = _butterflies(tw_ref, lo_ref[:], hi_ref[:], bits)
+        lo, hi = gl.mul((lo, hi), (lt_ref[:], ht_ref[:]))
+        out_lo_ref[:] = jnp.transpose(lo, (1, 0))
+        out_hi_ref[:] = jnp.transpose(hi, (1, 0))
+
+    return kernel_mxu if bits >= _GRP_BITS else kernel
 
 
 @functools.lru_cache(maxsize=None)
@@ -241,10 +324,12 @@ def _pallas_level_planar(bits: int, n_blocks: int, n2_tiles: int,
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((_TILE, n), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
+    mxu = bits >= _GRP_BITS
     return pl.pallas_call(
         _make_level_planar_kernel(bits),
         grid=(n_blocks,),
-        in_specs=[tw_spec, lvl_spec, lvl_spec, data_spec, data_spec],
+        in_specs=[tw_spec] + ([_dft_spec()] if mxu else [])
+        + [lvl_spec, lvl_spec, data_spec, data_spec],
         out_specs=[out_spec, out_spec],
         out_shape=[
             jax.ShapeDtypeStruct((n_blocks * _TILE, n), jnp.uint32),
@@ -267,14 +352,23 @@ def level_planar(x_brev, bits1: int, n2: int, n_cols: int, level_tw,
     tw = jnp.asarray(_stage_twiddles(bits1, inverse))
     n_blocks = (n_cols * n2) // _TILE
     fn = _pallas_level_planar(bits1, n_blocks, n2 // _TILE, interpret)
+    if bits1 >= _GRP_BITS:
+        return tuple(fn(tw, _dft_wq(inverse), level_tw[0], level_tw[1],
+                        x_brev[0], x_brev[1]))
     return tuple(fn(tw, level_tw[0], level_tw[1], x_brev[0], x_brev[1]))
 
 
 def _make_base_grid_kernel(bits: int):
-    def kernel(tw_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
-        lo, hi = _butterflies(tw_ref, lo_ref[:], hi_ref[:], bits)
-        out_lo_ref[:] = lo
-        out_hi_ref[:] = hi
+    if bits >= _GRP_BITS:
+        def kernel(tw_ref, dft_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
+            lo, hi = _butterflies(tw_ref, lo_ref[:], hi_ref[:], bits, dft_ref)
+            out_lo_ref[:] = lo
+            out_hi_ref[:] = hi
+    else:
+        def kernel(tw_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
+            lo, hi = _butterflies(tw_ref, lo_ref[:], hi_ref[:], bits)
+            out_lo_ref[:] = lo
+            out_hi_ref[:] = hi
 
     return kernel
 
@@ -288,10 +382,12 @@ def _pallas_base_grid(bits: int, n_cols: int, n1_tiles: int, interpret: bool):
                              memory_space=pltpu.VMEM)
     tw_spec = pl.BlockSpec((n, 2 * bits), lambda c, j: (0, 0),
                            memory_space=pltpu.VMEM)
+    mxu = bits >= _GRP_BITS
     return pl.pallas_call(
         _make_base_grid_kernel(bits),
         grid=(n_cols, n1_tiles),
-        in_specs=[tw_spec, data_spec, data_spec],
+        in_specs=[tw_spec] + ([_dft_spec()] if mxu else [])
+        + [data_spec, data_spec],
         out_specs=[data_spec, data_spec],
         out_shape=[
             jax.ShapeDtypeStruct((n_cols * n, n1_tiles * _TILE), jnp.uint32),
@@ -313,6 +409,8 @@ def base_grid(x_brev, bits2: int, n_cols: int, inverse: bool,
     tw = jnp.asarray(_stage_twiddles(bits2, inverse))
     n1 = x_brev[0].shape[1]
     fn = _pallas_base_grid(bits2, n_cols, n1 // _TILE, interpret)
+    if bits2 >= _GRP_BITS:
+        return tuple(fn(tw, _dft_wq(inverse), x_brev[0], x_brev[1]))
     return tuple(fn(tw, x_brev[0], x_brev[1]))
 
 
@@ -333,6 +431,7 @@ def base_ntt_brev(x, bits: int, inverse: bool, interpret: bool | None = None):
         interpret = jax.default_backend() != "tpu"
     tw = jnp.asarray(_stage_twiddles(bits, inverse))
     lo, hi = x
-    return tuple(
-        _pallas_base(bits, lo.shape[1] // _TILE, interpret)(tw, lo, hi)
-    )
+    fn = _pallas_base(bits, lo.shape[1] // _TILE, interpret)
+    if bits >= _GRP_BITS:
+        return tuple(fn(tw, _dft_wq(inverse), lo, hi))
+    return tuple(fn(tw, lo, hi))
