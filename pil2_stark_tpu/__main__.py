@@ -30,6 +30,7 @@ main_exportSolidityVerifier.js, main_exportCalldata.js):
 
   fflonkinfo             PIL → fflonkinfo/expressionsinfo/verifierinfo (Fr)
   fflonk-setup           const pols + fflonkinfo → zkey/ptau/verification key
+  fflonk-chelpers        TACs → .fflonkchelpers.bin bytecode artifact
   fflonk-prove           zkey + commits → proof.json
   fflonk-verify          vk + proof → accept/reject
   exportverificationkey  zkey → verificationkey.json
@@ -595,14 +596,33 @@ def cmd_fflonk_prove(args):
         for j, v in enumerate(row):
             cm[i, j] = int(v)
     publics = [int(x) for x in serialization.load_json(args.publics)]
+    chelpers = None
+    if getattr(args, "chelpers", None):
+        from .fflonk import chelpers as fflonk_chelpers
+        chelpers = fflonk_chelpers.read_file(args.chelpers)
     res = fflonk_prove(zkey, ptau, fflonk_info, expressions_info, cm,
-                       publics, rng=random.Random(args.seed))
+                       publics, rng=random.Random(args.seed),
+                       chelpers=chelpers)
     serialization.dump_json(
         json.loads(json.dumps(res["proof"], default=str)), args.proof
     )
     serialization.dump_json([str(p) for p in res["publics"]],
                             args.out_publics)
     print(f"wrote {args.proof}, {args.out_publics}")
+
+
+def cmd_fflonk_chelpers(args):
+    """fflonk/chelpers twin (fflonk_chelpers.js:1-242): flatten the stage
+    TACs into the `.fflonkchelpers.bin` bytecode artifact."""
+    from .fflonk import chelpers as fflonk_chelpers
+    from .utils import serialization
+
+    fflonk_info = serialization.load_json(args.fflonkinfo)
+    expressions_info = serialization.load_json(args.expressionsinfo)
+    units = fflonk_chelpers.write_file(args.out, fflonk_info,
+                                       expressions_info)
+    n_ops = sum(len(u["ops"]) for us in units.values() for u in us)
+    print(f"wrote {args.out} ({n_ops} flattened ops)")
 
 
 def _load_fflonk_proof(path):
@@ -840,7 +860,15 @@ def main(argv=None):
     sp.add_argument("--proof", default="proof.json")
     sp.add_argument("--out-publics", dest="out_publics",
                     default="proof.publics.json")
+    sp.add_argument("--chelpers", help="prebuilt .fflonkchelpers.bin — "
+                    "execute stage TACs via the bytecode interpreter")
     sp.set_defaults(fn=cmd_fflonk_prove)
+
+    sp = sub.add_parser("fflonk-chelpers")
+    sp.add_argument("--fflonkinfo", required=True)
+    sp.add_argument("--expressionsinfo", required=True)
+    sp.add_argument("--out", default="fflonk.chelpers.bin")
+    sp.set_defaults(fn=cmd_fflonk_chelpers)
 
     sp = sub.add_parser("fflonk-verify")
     sp.add_argument("--verificationkey", required=True)

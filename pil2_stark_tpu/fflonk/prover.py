@@ -28,15 +28,21 @@ from ..protocol.shplonk import shplonk_commit, shplonk_open
 from ..stark import hints
 from . import fr_ctx
 from .fr_ctx import FrProverCtx, execute_code
+from . import chelpers as fflonk_chelpers
 
 
 def fflonk_prove(zkey, ptau, pil_info, expressions_info, cm1_values, publics,
-                 rng=None, debug=False, logger=None):
+                 rng=None, debug=False, logger=None, chelpers=None):
     """Returns {"proof", "publics", "challenges"} (or the error list in
     debug mode).  cm1_values: (N, nCm1) array of Fr ints; publics: list.
     rng: random.Random for ZK blinding (seeded in tests; defaults to
-    SystemRandom)."""
+    SystemRandom).
+    chelpers: flattened bytecode units from fflonk.chelpers.build()/
+    read_file() — when given, stage TACs execute through the stream
+    interpreter (the reference's generated-C++ placement,
+    fflonk_chelpers.js:1-242) instead of the dict-dispatch executor."""
     ctx = FrProverCtx(pil_info, expressions_info, zkey, debug=debug)
+    ctx.chelpers = chelpers
     ctx.ptau = ptau
     ctx.rng = rng or random.SystemRandom()
 
@@ -152,15 +158,27 @@ def _compute_stage(stage, ctx):
                 )
             missing = updated
         if stage == q_stage - 1:
-            code = ctx.expressions_info["imPolsCode"][stage - 1]
-            if code["code"]:
-                execute_code(ctx, code, dom)
+            if getattr(ctx, "chelpers", None) is not None:
+                unit = ctx.chelpers["imPols"][stage - 1]
+                if len(unit["ops"]):
+                    fflonk_chelpers.execute_stream(ctx, unit, dom)
+            else:
+                code = ctx.expressions_info["imPolsCode"][stage - 1]
+                if code["code"]:
+                    execute_code(ctx, code, dom)
     else:
-        code = next(
-            e for e in ctx.expressions_info["expressionsCode"]
-            if e["expId"] == ctx.pil_info["cExpId"]
-        )
-        execute_code(ctx, code["code"], dom)
+        if getattr(ctx, "chelpers", None) is not None:
+            unit = next(
+                u for u in ctx.chelpers["expressions"]
+                if u["expId"] == ctx.pil_info["cExpId"]
+            )
+            fflonk_chelpers.execute_stream(ctx, unit, dom)
+        else:
+            code = next(
+                e for e in ctx.expressions_info["expressionsCode"]
+                if e["expId"] == ctx.pil_info["cExpId"]
+            )
+            execute_code(ctx, code["code"], dom)
 
     if ctx.debug:
         for c in ctx.expressions_info["constraints"]:
