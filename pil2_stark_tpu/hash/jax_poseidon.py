@@ -235,6 +235,166 @@ def linear_hash_split(rows, width: int, batch_size: int | None = None):
 
 
 # ---------------------------------------------------------------------------
+# planar pipeline (lanes = batch)
+#
+# The Pallas kernel's native state layout is (12, B) limb planes.  The
+# row-major entry points above transpose (B, 12) <-> (12, B) around every
+# dispatch — two relayout passes per permutation.  The planar commit
+# pipeline (LDE planar output -> leaf sponge -> tree levels) keeps the
+# batch on the lane axis end-to-end, so leaf absorption is a row slice and
+# only the per-level sibling de-interleave pays a (cheap) lane shuffle.
+
+
+def permute_planar(state):
+    """Poseidon permutation on a PLANAR batch: (lo, hi) uint32 (12, B)."""
+    if _pallas_enabled():
+        from . import pallas_poseidon
+
+        interp = None if _FORCE_PALLAS is None else (
+            jax.default_backend() != "tpu"
+        )
+        return pallas_poseidon.permute_planes_pair(state, interpret=interp)
+    out = _permute_jnp((state[0].T, state[1].T))
+    return (out[0].T, out[1].T)
+
+
+def linear_hash_planar(cols, width: int):
+    """Sponge over planar columns: cols = (lo, hi) (width, B) -> (4, B)."""
+    lo, hi = cols
+    b = lo.shape[1]
+    if width <= 4:
+        pad = ((0, 4 - width), (0, 0))
+        return (jnp.pad(lo, pad), jnp.pad(hi, pad))
+    n_chunks = -(-width // 8)
+    pad = ((0, n_chunks * 8 - width), (0, 0))
+    lo = jnp.pad(lo, pad).reshape(n_chunks, 8, b)
+    hi = jnp.pad(hi, pad).reshape(n_chunks, 8, b)
+
+    def body(st, chunk):
+        clo, chi = chunk
+        full = (
+            jnp.concatenate([clo, st[0]], axis=0),
+            jnp.concatenate([chi, st[1]], axis=0),
+        )
+        out = permute_planar(full)
+        return (out[0][:4], out[1][:4]), None
+
+    z = jnp.zeros((4, b), dtype=jnp.uint32)
+    (dlo, dhi), _ = jax.lax.scan(body, (z, z), (lo, hi))
+    return (dlo, dhi)
+
+
+def linear_hash_split_planar(cols, width: int, batch_size: int | None = None):
+    """Two-level split linear hash over planar columns (linearhash_gpu.js)."""
+    if batch_size is None:
+        batch_size = int(max(8, (width + 3) / 4))
+    if width <= 4:
+        return linear_hash_planar(cols, width)
+    lo, hi = cols
+    digests_lo, digests_hi = [], []
+    for start in range(0, width, batch_size):
+        end = min(start + batch_size, width)
+        d = linear_hash_planar((lo[start:end], hi[start:end]), end - start)
+        digests_lo.append(d[0])
+        digests_hi.append(d[1])
+    cat = (jnp.concatenate(digests_lo, axis=0),
+           jnp.concatenate(digests_hi, axis=0))
+    return linear_hash_planar(cat, cat[0].shape[0])
+
+
+def _hash_level_planar(dlo, dhi):
+    """Planar level (4, 2m) -> (4, m) parent digests, ONE dispatch.
+
+    Siblings are ADJACENT LANES, so pairing is the (4, m, 2) reshape plus
+    one lane de-interleave — cheaper than the row-major path's (m, 12)
+    transpose in AND out of the kernel."""
+    m = dlo.shape[1] // 2
+    llo = dlo.reshape(4, m, 2)
+    lhi = dhi.reshape(4, m, 2)
+    z = jnp.zeros((4, m), dtype=jnp.uint32)
+    st = (
+        jnp.concatenate([llo[:, :, 0], llo[:, :, 1], z], axis=0),
+        jnp.concatenate([lhi[:, :, 0], lhi[:, :, 1], z], axis=0),
+    )
+    out = permute_planar(st)
+    return (out[0][:4], out[1][:4])
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_leaf_all_planar(n_rc: int, chunk: int, n_chunks: int,
+                         split_width: int):
+    """All leaf sponges of a planar tree in ONE dispatch: (W, n_rc·chunk)
+    columns scanned in contiguous lane blocks of `chunk`."""
+    if split_width:
+        inner = lambda cols: linear_hash_split_planar(cols, split_width)
+    else:
+        inner = lambda cols: linear_hash_planar(cols, n_chunks * 8)
+
+    def body(cols):
+        lo, hi = cols
+        w = lo.shape[0]
+        lo = jnp.moveaxis(lo.reshape(w, n_rc, chunk), 1, 0)
+        hi = jnp.moveaxis(hi.reshape(w, n_rc, chunk), 1, 0)
+
+        def step(_, blk):
+            return None, inner(blk)
+
+        _, (dlo, dhi) = jax.lax.scan(step, None, (lo, hi))
+        return (
+            jnp.moveaxis(dlo, 0, 1).reshape(4, n_rc * chunk),
+            jnp.moveaxis(dhi, 0, 1).reshape(4, n_rc * chunk),
+        )
+
+    return jax.jit(body)
+
+
+def _leaf_digests_planar(cols, width: int, height: int, split: bool):
+    """(width, height) planar pair -> (4, height) digest pair."""
+    lo, hi = cols
+    if width <= 4:
+        pad = ((0, 4 - width), (0, 0))
+        return (jnp.pad(lo, pad), jnp.pad(hi, pad))
+    split_width = width if split else 0
+    if not split:
+        n_chunks = -(-width // 8)
+        if width != n_chunks * 8:
+            pad = ((0, n_chunks * 8 - width), (0, 0))
+            lo = jnp.pad(lo, pad)
+            hi = jnp.pad(hi, pad)
+    else:
+        n_chunks = 0
+    chunk = min(_row_chunk(), height)
+    total = -(-height // chunk) * chunk
+    if total != height:
+        pad = ((0, 0), (0, total - height))
+        lo = jnp.pad(lo, pad)
+        hi = jnp.pad(hi, pad)
+    fn = _jit_leaf_all_planar(total // chunk, chunk, n_chunks, split_width)
+    dlo, dhi = fn((lo, hi))
+    return dlo[:, :height], dhi[:, :height]
+
+
+def merkle_levels_planar(cols, width: int, height: int, split: bool = False):
+    """Planar device Merkle build: cols (width, height) -> list of planar
+    (4, n) digest levels, root last.  Bit-identical digests to
+    merkle_levels(cols.T, ...) — same sponge, same even-padding rule."""
+    dlo, dhi = _leaf_digests_planar(cols, width, height, split)
+    levels = []
+    n = height
+    while n > 1:
+        target = 2 * ((n + 1) // 2)
+        if target != n:
+            pad = ((0, 0), (0, target - n))
+            dlo = jnp.pad(dlo, pad)
+            dhi = jnp.pad(dhi, pad)
+        levels.append((dlo, dhi))
+        dlo, dhi = _hash_level_planar(dlo, dhi)
+        n = (n + 1) // 2
+    levels.append((dlo, dhi))
+    return levels
+
+
+# ---------------------------------------------------------------------------
 # u64 conveniences
 
 

@@ -336,6 +336,43 @@ _BUCKETS = (1 << 12, 1 << 14, 1 << 16)
 _CHUNK = _BUCKETS[-1]
 
 
+def permute_planes_pair(state, interpret: bool | None = None):
+    """Batched permutation on a (lo, hi) uint32 (12, B) PLANAR pair —
+    lanes are the batch, rows the Poseidon state.  This is the kernel's
+    native layout: callers that keep their data planar (the planar commit
+    pipeline: LDE output, tree levels) pay NO transposes at the entry —
+    permute_pair's (B, 12) API costs one relayout in and one out per
+    dispatch.  Pads the batch to a fixed bucket (or scans the _CHUNK-sized
+    program); usable inside jit/scan bodies."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu",)
+    lo, hi = state
+    b = lo.shape[1]
+    if b <= _CHUNK:
+        pb = next(p for p in _BUCKETS if p >= b)
+        if pb != b:
+            lo = jnp.pad(lo, ((0, 0), (0, pb - b)))
+            hi = jnp.pad(hi, ((0, 0), (0, pb - b)))
+        olo, ohi = _permute_planes(lo, hi, interpret)
+        return olo[:, :b], ohi[:, :b]
+    pb = -(-b // _CHUNK) * _CHUNK
+    if pb != b:
+        lo = jnp.pad(lo, ((0, 0), (0, pb - b)))
+        hi = jnp.pad(hi, ((0, 0), (0, pb - b)))
+    nc = pb // _CHUNK
+    lo = jnp.moveaxis(lo.reshape(T, nc, _CHUNK), 1, 0)
+    hi = jnp.moveaxis(hi.reshape(T, nc, _CHUNK), 1, 0)
+
+    def body(_, ch):
+        clo, chi = ch
+        return None, _permute_planes(clo, chi, interpret)
+
+    _, (olo, ohi) = jax.lax.scan(body, None, (lo, hi))
+    olo = jnp.moveaxis(olo, 0, 1).reshape(T, pb)
+    ohi = jnp.moveaxis(ohi, 0, 1).reshape(T, pb)
+    return olo[:, :b], ohi[:, :b]
+
+
 def permute_pair(state, interpret: bool | None = None):
     """Traceable batched permutation on a (lo, hi) uint32 (B, 12) pair —
     the production entry point used by jax_poseidon.permute on TPU

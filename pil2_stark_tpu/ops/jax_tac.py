@@ -50,9 +50,15 @@ def _const_pair(value: int):
     )
 
 
-def make_executor(code_obj, dom: str, pil_info: dict, n_bits: int, ext_bits: int | None):
+def make_executor(code_obj, dom: str, pil_info: dict, n_bits: int,
+                  ext_bits: int | None, planar: bool = False):
     """Build a jitted executor for a TAC program (cached inside pil_info so
     repeated proofs of the same machine reuse the compiled XLA program).
+
+    planar=True: sections arrive as (cols, rows) limb pairs (the planar
+    commit pipeline's layout) — operand reads become free row slices
+    instead of the strided column-gather + transpose the row-major layout
+    pays per reference.
 
     The returned fn takes a dict of device inputs:
       sections:  {"const": pair(N,w), "cm1": pair(N,w), ...} in (rows, cols)
@@ -68,7 +74,7 @@ def make_executor(code_obj, dom: str, pil_info: dict, n_bits: int, ext_bits: int
     # Executors are cached by object identity; the cache entry pins
     # code_obj/pil_info alive so the id cannot be recycled.  The artifact
     # dicts are never mutated (they get JSON-serialized by setup tooling).
-    key = (id(code_obj), id(pil_info), dom, n_bits, ext_bits)
+    key = (id(code_obj), id(pil_info), dom, n_bits, ext_bits, planar)
     hit = _EXECUTOR_CACHE.get(key)
     if hit is not None:
         return hit[0]
@@ -85,7 +91,10 @@ def make_executor(code_obj, dom: str, pil_info: dict, n_bits: int, ext_bits: int
 
         def get_section_cols(section, offset, dim, prime):
             lo, hi = inputs["sections"][section]
-            sl = (lo[:, offset : offset + dim].T, hi[:, offset : offset + dim].T)
+            if planar:
+                sl = (lo[offset : offset + dim, :], hi[offset : offset + dim, :])
+            else:
+                sl = (lo[:, offset : offset + dim].T, hi[:, offset : offset + dim].T)
             return _roll(sl, _shift_amount(prime, dom, n, extend_bits))
 
         def get_ref(r):
@@ -198,13 +207,22 @@ def pack_inputs(ctx, dom: str):
     ctx.dx / ctx.dZi / ctx.dxdiv — no conversion or transfer happens for
     them; only the small scalars (publics/challenges/evals) are packed."""
     device_mode = getattr(ctx, "device", False)
+    planar = getattr(ctx, "planar", False)
     sections = {}
     suffix = "_ext" if dom == "ext" else "_n"
     dsec = ctx.dsections[dom] if device_mode else {}
+
+    def host_section(buf):
+        # planar mode uploads host buffers transposed so every section
+        # shares the (cols, rows) orientation of the device-resident ones
+        if planar:
+            return gl.from_u64(np.ascontiguousarray(buf.T))
+        return gl.from_u64(np.ascontiguousarray(buf))
+
     if "const" in dsec:
         sections["const"] = dsec["const"]
     else:
-        sections["const"] = gl.from_u64(np.ascontiguousarray(ctx.buffer("const", dom)))
+        sections["const"] = host_section(ctx.buffer("const", dom))
     for i in range(ctx.pil_info["nStages"] + (1 if dom == "ext" else 0)):
         name = f"cm{i + 1}"
         if name in dsec:
@@ -212,7 +230,7 @@ def pack_inputs(ctx, dom: str):
             continue
         buf = ctx.buffers.get(f"{name}{suffix}")
         if buf is not None:
-            sections[name] = gl.from_u64(np.ascontiguousarray(buf))
+            sections[name] = host_section(buf)
     inputs = {
         "sections": sections,
         "x": (

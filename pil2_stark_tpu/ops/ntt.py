@@ -364,7 +364,7 @@ def _jit_intt(bits: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_lde(bits: int, ext_bits: int, shift: int):
+def _lde_parts(bits: int, ext_bits: int, shift: int):
     n = 1 << bits
     n_inv = pow(n, gl64.P_INT - 2, gl64.P_INT)
     # fold n_inv into the coset-shift scaling; big enough tables ride as
@@ -378,18 +378,23 @@ def _jit_lde(bits: int, ext_bits: int, shift: int):
     inv_tw = _tw_args(bits, True)
     fwd_tw = _tw_args(ext_bits, False)
 
-    def body(x, tws_i, tws_f, sp):
+    def planar_body(xp, tws_i, tws_f, sp):
+        """(C, N) planar pair -> (C, extN) planar pair — the scale and
+        zero-pad ride the lane axis between the two transforms; no
+        transposes anywhere (the planar commit pipeline's entry)."""
+        s = sp_const if sp_small else sp
+        c = xp[0].shape[0]
+        coefs = _planar_ntt(xp, bits, c, True, iter(tws_i))
+        coefs = gl.mul((s[0][None, :], s[1][None, :]), coefs)
+        pad = ((0, 0), (0, (1 << ext_bits) - n))
+        padded = (jnp.pad(coefs[0], pad), jnp.pad(coefs[1], pad))
+        return _planar_ntt(padded, ext_bits, c, False, iter(tws_f))
+
+    def rows_body(x, tws_i, tws_f, sp):
         s = sp_const if sp_small else sp
         if _planar_ok(bits) and _planar_ok(ext_bits):
-            # planar end-to-end: transpose once in, once out; the scale
-            # and zero-pad ride the lane axis between the two transforms
-            c = x[0].shape[1]
-            xp = (x[0].T, x[1].T)
-            coefs = _planar_ntt(xp, bits, c, True, iter(tws_i))
-            coefs = gl.mul((s[0][None, :], s[1][None, :]), coefs)
-            pad = ((0, 0), (0, (1 << ext_bits) - n))
-            padded = (jnp.pad(coefs[0], pad), jnp.pad(coefs[1], pad))
-            y = _planar_ntt(padded, ext_bits, c, False, iter(tws_f))
+            # planar core: transpose once in, once out
+            y = planar_body((x[0].T, x[1].T), tws_i, tws_f, sp)
             return (y[0].T, y[1].T)
         coefs = _axis0_ntt(x, bits, True, iter(tws_i))
         coefs = gl.mul((s[0][:, None], s[1][:, None]), coefs)
@@ -397,8 +402,27 @@ def _jit_lde(bits: int, ext_bits: int, shift: int):
         padded = (jnp.pad(coefs[0], pad), jnp.pad(coefs[1], pad))
         return _axis0_ntt(padded, ext_bits, False, iter(tws_f))
 
-    fn = jax.jit(body)
+    return planar_body, rows_body, inv_tw, fwd_tw, sp_dev
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_lde(bits: int, ext_bits: int, shift: int):
+    _, rows_body, inv_tw, fwd_tw, sp_dev = _lde_parts(bits, ext_bits, shift)
+    fn = jax.jit(rows_body)
     return lambda x: fn(x, inv_tw, fwd_tw, sp_dev)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_lde_planar(bits: int, ext_bits: int, shift: int):
+    planar_body, _, inv_tw, fwd_tw, sp_dev = _lde_parts(bits, ext_bits, shift)
+    if not (_planar_ok(bits) and _planar_ok(ext_bits)):
+        # fall back through the row-major path (axis-0 chain)
+        _, rows_body, *_ = _lde_parts(bits, ext_bits, shift)
+        fn = jax.jit(rows_body)
+        return lambda xp: (lambda y: (y[0].T, y[1].T))(
+            fn((xp[0].T, xp[1].T), inv_tw, fwd_tw, sp_dev))
+    fn = jax.jit(planar_body)
+    return lambda xp: fn(xp, inv_tw, fwd_tw, sp_dev)
 
 
 # ---------------------------------------------------------------------------
@@ -416,6 +440,14 @@ def intt(x, bits: int):
 def lde(x, bits: int, ext_bits: int, shift: int = 7):
     """Low-degree extension onto the coset shift·H_ext (fft_p interpolate)."""
     return _jit_lde(bits, ext_bits, shift)(x)
+
+
+def lde_planar(xp, bits: int, ext_bits: int, shift: int = 7):
+    """LDE on a PLANAR (C, N) pair -> (C, extN) pair.  Same values as
+    lde(xp.T).T with zero transposes — the planar commit pipeline keeps
+    columns on the lane axis from witness upload through the Merkle leaf
+    sponge."""
+    return _jit_lde_planar(bits, ext_bits, shift)(xp)
 
 
 # ---------------------------------------------------------------------------

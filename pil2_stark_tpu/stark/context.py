@@ -25,6 +25,7 @@ class ProverCtx:
         self.backend = backend
         self.device = backend == "device" and not debug
         self.mesh = mesh if self.device else None
+        self.planar = False  # set True by the device init (single-chip)
         if mesh is not None and not self.device:
             raise ValueError("mesh requires backend='device'")
 
@@ -129,13 +130,28 @@ class ProverCtx:
                         const_tree._dev_pairs = cache
                     except AttributeError:
                         pass
-                shard_key = id(self.mesh) if self.mesh is not None else None
+                # single-chip device proofs run the planar commit pipeline
+                # (sections/trees keep rows on the lane axis end-to-end);
+                # the mesh path stays row-major (sharded kernels' layout)
+                self.planar = self.mesh is None
+                shard_key = (
+                    id(self.mesh) if self.mesh is not None else None,
+                    self.planar,
+                )
                 dconst = cache.get(shard_key)
                 if dconst is None:
-                    dconst = {
-                        "n": _jgl.from_u64(self.const_n),
-                        "ext": _jgl.from_u64(self.const_ext),
-                    }
+                    if self.planar:
+                        dconst = {
+                            "n": _jgl.from_u64(
+                                np.ascontiguousarray(self.const_n.T)),
+                            "ext": _jgl.from_u64(
+                                np.ascontiguousarray(self.const_ext.T)),
+                        }
+                    else:
+                        dconst = {
+                            "n": _jgl.from_u64(self.const_n),
+                            "ext": _jgl.from_u64(self.const_ext),
+                        }
                     cache[shard_key] = dconst
 
                 if self.mesh is not None:

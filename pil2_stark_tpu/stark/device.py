@@ -120,6 +120,23 @@ def gl_sum0(a):
     return (lo, hi)
 
 
+def gl_sum1(a):
+    """Tree-sum along axis 1 (lanes) of a (r, n) gl pair -> (r, 1).
+    Halving rides contiguous (r, n/2, 2) reshapes, never strided slices."""
+    lo, hi = a
+    r = lo.shape[0]
+    while lo.shape[1] > 1:
+        n = lo.shape[1]
+        if n % 2:
+            lo = jnp.pad(lo, ((0, 0), (0, 1)))
+            hi = jnp.pad(hi, ((0, 0), (0, 1)))
+            n += 1
+        l2 = lo.reshape(r, n // 2, 2)
+        h2 = hi.reshape(r, n // 2, 2)
+        lo, hi = gl.add((l2[:, :, 0], h2[:, :, 0]), (l2[:, :, 1], h2[:, :, 1]))
+    return (lo, hi)
+
+
 # ---------------------------------------------------------------------------
 # domain constants (x_n, x_ext, zerofier-inverse rows) built ON DEVICE
 #
@@ -239,7 +256,8 @@ def domain_consts(n_bits: int, n_bits_ext: int, boundaries_list):
 _EVALS_CACHE: dict = {}
 
 
-def make_evals_executor(pil_info, stride: int, n_bits: int):
+def make_evals_executor(pil_info, stride: int, n_bits: int,
+                        planar: bool = False):
     """One jitted program computing every evMap entry's opening evaluation:
     evals[k] = Σ_i pol_k[i·stride] · LEv_opening[i]  (the reference's row
     loop at stark_gen_helpers.js:250-264, as strided slices + vectorized
@@ -250,7 +268,7 @@ def make_evals_executor(pil_info, stride: int, n_bits: int):
     from ..ops import ntt as ntt_ops
     from ..field import gl64
 
-    key = (id(pil_info), stride, n_bits)
+    key = (id(pil_info), stride, n_bits, planar)
     hit = _EVALS_CACHE.get(key)
     if hit is not None:
         return hit[0]
@@ -267,12 +285,14 @@ def make_evals_executor(pil_info, stride: int, n_bits: int):
             series = _f3_geometric_traced(pows2, o, n_bits)  # (3, N)
             if ntt_ops._planar_ok(n_bits):
                 cp = ntt_ops._planar_ntt(series, n_bits, 3, True)
-                coefs = (cp[0].T, cp[1].T)
+                coefs = cp if planar else (cp[0].T, cp[1].T)
             else:
-                coefs = ntt_ops._axis0_ntt(
+                cp = ntt_ops._axis0_ntt(
                     (series[0].T, series[1].T), n_bits, True
                 )
-            lev_list.append(gl.mul_const(coefs, n_inv))  # (N, 3)
+                coefs = (cp[0].T, cp[1].T) if planar else cp
+            # planar: (3, N); row-major: (N, 3)
+            lev_list.append(gl.mul_const(coefs, n_inv))
 
         out_lo, out_hi = [], []
         for ev in ev_map:
@@ -285,13 +305,26 @@ def make_evals_executor(pil_info, stride: int, n_bits: int):
                 raise ValueError(f"Invalid ev type: {ev['type']}")
             slo, shi = sections[sec]
             lev = lev_list[openings.index(ev["prime"])]
-            if dim == 1:
-                col = (slo[::stride, off, None], shi[::stride, off, None])
-                prod = gl.mul(lev, col)  # base × ext, componentwise
+            if planar:
+                # sections are (cols, extN): strided row slices, extension
+                # mul in the native leading-axis layout, sum over lanes
+                if dim == 1:
+                    col = (slo[off, None, ::stride], shi[off, None, ::stride])
+                    prod = gl.mul(lev, col)  # (3, N) × (1, N)
+                else:
+                    col = (slo[off : off + 3, ::stride],
+                           shi[off : off + 3, ::stride])
+                    prod = jf3.mul(col, lev)
+                s = gl_sum1(prod)  # (3, 1)
+                acc = (s[0].T, s[1].T)  # (1, 3)
             else:
-                col = (slo[::stride, off : off + 3], shi[::stride, off : off + 3])
-                prod = f3_mul_rows(col, lev)
-            acc = gl_sum0(prod)  # (1, 3)
+                if dim == 1:
+                    col = (slo[::stride, off, None], shi[::stride, off, None])
+                    prod = gl.mul(lev, col)  # base × ext, componentwise
+                else:
+                    col = (slo[::stride, off : off + 3], shi[::stride, off : off + 3])
+                    prod = f3_mul_rows(col, lev)
+                acc = gl_sum0(prod)  # (1, 3)
             out_lo.append(acc[0])
             out_hi.append(acc[1])
         return (jnp.concatenate(out_lo, axis=0), jnp.concatenate(out_hi, axis=0))
@@ -343,12 +376,14 @@ class DeviceTree:
 
     width: int
     height: int
-    elements: tuple  # (lo, hi) pair (height, width)
-    levels: list  # [(lo, hi) (n, 4), ..., root (1, 4)]
+    elements: tuple  # (lo, hi) pair (height, width) — or (width, height) planar
+    levels: list  # [(lo, hi) (n, 4), ..., root (1, 4)] — planar: (4, n)
+    planar: bool = False  # lanes-are-rows layout (planar commit pipeline)
 
     @functools.cached_property
     def root(self) -> np.ndarray:
-        return gl.to_u64(self.levels[-1])[0]
+        r = gl.to_u64(self.levels[-1])
+        return r[:, 0] if self.planar else r[0]
 
 
 @functools.lru_cache(maxsize=None)
@@ -385,8 +420,18 @@ def _jit_const_levels(height: int):
     return jax.jit(body)
 
 
-def merkelize(elements, width: int, height: int, split: bool = False) -> DeviceTree:
-    """elements: (lo, hi) pair (height, width) on device."""
+def merkelize(elements, width: int, height: int, split: bool = False,
+              planar: bool = False) -> DeviceTree:
+    """elements: (lo, hi) pair (height, width) on device — or (width,
+    height) with planar=True (the planar commit pipeline: LDE output and
+    tree levels keep the row index on the lane axis, so the leaf sponge
+    absorbs row slices and no transposes enter the Poseidon kernel)."""
+    if planar and width > 0:
+        levels = jax_poseidon.merkle_levels_planar(elements, width, height, split)
+        return DeviceTree(width=width, height=height, elements=elements,
+                          levels=levels, planar=True)
+    if planar:  # zero-width planar trees reuse the uniform row-major build
+        elements = (elements[0].T, elements[1].T)
     if width == 0 and height & (height - 1) == 0:
         # degenerate tree over empty rows at power-of-two height: every
         # node of a level is the SAME digest (leaf digest = zero row, no
@@ -420,33 +465,38 @@ def gather_group_proofs(tree: DeviceTree, idxs):
     return gather_group_proofs_multi([tree], [idxs])[0]
 
 
-def _tree_flat_gather(elements, levels, idxs):
+def _tree_flat_gather(elements, levels, idxs, planar: bool):
     """Values row + sibling path per query of one tree, as a flat
-    (Q, width + 4·n_levels) pair (traced building block)."""
-    parts_lo = [jnp.take(elements[0], idxs, axis=0)]
-    parts_hi = [jnp.take(elements[1], idxs, axis=0)]
+    (Q, width + 4·n_levels) pair (traced building block).  Planar trees
+    gather lanes (axis 1) and transpose the tiny (span, Q) result — Q is
+    nQueries, so the transpose is negligible next to the take."""
+    ax = 1 if planar else 0
+    parts_lo = [jnp.take(elements[0], idxs, axis=ax)]
+    parts_hi = [jnp.take(elements[1], idxs, axis=ax)]
     cur = idxs
     for lvl in levels:
         sib_idx = cur ^ 1
-        parts_lo.append(jnp.take(lvl[0], sib_idx, axis=0))
-        parts_hi.append(jnp.take(lvl[1], sib_idx, axis=0))
+        parts_lo.append(jnp.take(lvl[0], sib_idx, axis=ax))
+        parts_hi.append(jnp.take(lvl[1], sib_idx, axis=ax))
         cur = cur >> 1
-    return (
-        jnp.concatenate(parts_lo, axis=1),
-        jnp.concatenate(parts_hi, axis=1),
-    )
+    cat_ax = 0 if planar else 1
+    lo = jnp.concatenate(parts_lo, axis=cat_ax)
+    hi = jnp.concatenate(parts_hi, axis=cat_ax)
+    if planar:
+        lo, hi = lo.T, hi.T
+    return (lo, hi)
 
 
-@jax.jit
-def _jit_gather_multi(trees, idx_arrays):
+@functools.partial(jax.jit, static_argnums=2)
+def _jit_gather_multi(trees, idx_arrays, planar_flags):
     """ALL query gathers of ALL trees in ONE device program returning ONE
     flat (Q, Σ(width + 4·n_levels)) pair — a single dispatch and a single
     host transfer for the whole queries phase (the per-tree version cost
     one tunnel round-trip per tree: ~10 trees ≈ 0.45 s of the round-3
     2^20 prove)."""
     outs = [
-        _tree_flat_gather(elements, levels, idxs)
-        for (elements, levels), idxs in zip(trees, idx_arrays)
+        _tree_flat_gather(elements, levels, idxs, pl)
+        for (elements, levels), idxs, pl in zip(trees, idx_arrays, planar_flags)
     ]
     return (
         jnp.concatenate([o[0] for o in outs], axis=1),
@@ -464,7 +514,8 @@ def gather_group_proofs_multi(trees, idxs_list):
     idx_arrays = tuple(
         jnp.asarray(np.asarray(i, dtype=np.int32)) for i in idxs_list
     )
-    flat_np = gl.to_u64(_jit_gather_multi(args, idx_arrays))
+    planar_flags = tuple(t.planar for t in trees)
+    flat_np = gl.to_u64(_jit_gather_multi(args, idx_arrays, planar_flags))
     results = []
     off = 0
     for t, idxs in zip(trees, idxs_list):

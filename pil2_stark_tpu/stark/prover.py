@@ -280,7 +280,8 @@ def _run_code(ctx, code_obj, dom):
         expr_eval.execute_code(ctx, code_obj, dom)
         return
     executor = jax_tac.make_executor(
-        code_obj, dom, ctx.pil_info, ctx.n_bits, getattr(ctx, "n_bits_ext", None)
+        code_obj, dom, ctx.pil_info, ctx.n_bits,
+        getattr(ctx, "n_bits_ext", None), planar=getattr(ctx, "planar", False)
     )
     out = executor(jax_tac.pack_inputs(ctx, dom))
     if ctx.device and dom == "ext":
@@ -317,6 +318,22 @@ def _extend_and_merkelize(stage, ctx):
         # "n"-domain pair is kept for later TAC programs (the q-1 imPols
         # executor reads every committed stage — without this cache each
         # stage section re-rode the host->device transport per program)
+        if ctx.planar:
+            # planar commit pipeline: the host transposes once (cheap) so
+            # LDE -> leaf sponge -> tree levels run with rows on the lane
+            # axis and ZERO on-device transposes
+            dev_n = _jgl.from_u64(np.ascontiguousarray(buff_from.T))
+            ctx.dsections["n"][f"cm{stage}"] = dev_n
+            if n_pols > 0:
+                ext = ntt_ops.lde_planar(dev_n, ctx.n_bits, ctx.n_bits_ext)
+            else:
+                ext = _jgl.from_u64(np.zeros((0, ctx.ext_N), dtype=np.uint64))
+            tree = device.merkelize(
+                ext, n_pols, ctx.ext_N, ctx.mh.split_linear_hash, planar=True
+            )
+            ctx.dsections["ext"][f"cm{stage}"] = ext
+            ctx.trees[stage] = tree
+            return [ctx.mh.root(ctx.trees[stage])]
         dev_n = _jgl.from_u64(buff_from)
         ctx.dsections["n"][f"cm{stage}"] = dev_n
         if ctx.mesh is not None:
@@ -410,7 +427,8 @@ def _compute_q(ctx):
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_q_split(n_bits_ext: int, n_bits: int, q_dim: int, q_deg: int, shift_in: int):
+def _jit_q_split(n_bits_ext: int, n_bits: int, q_dim: int, q_deg: int,
+                 shift_in: int, planar_out: bool = False):
     """ONE jitted program for the whole computeQStark transform chain
     (iNTT(ext) → qDeg split scaled by shiftIn^p → NTT(ext)).  Keeping it a
     single program matters: the glue ops alone, run op-by-op, dispatch
@@ -446,7 +464,7 @@ def _jit_q_split(n_bits_ext: int, n_bits: int, q_dim: int, q_deg: int, shift_in:
                 (jnp.pad(lo, pad), jnp.pad(hi, pad)),
                 n_bits_ext, q_deg * q_dim, False,
             )
-            return (y[0].T, y[1].T)
+            return y if planar_out else (y[0].T, y[1].T)
         # (qDim, extN) -> (extN, qDim) for the axis-0 NTT
         qq1 = ntt_ops._axis0_ntt((dq[0].T, dq[1].T), n_bits_ext, True)
         qq1 = _jgl.mul_const(qq1, n_inv)
@@ -460,9 +478,10 @@ def _jit_q_split(n_bits_ext: int, n_bits: int, q_dim: int, q_deg: int, shift_in:
         lo = jnp.moveaxis(lo, 0, 1).reshape(n, q_deg * q_dim)
         hi = jnp.moveaxis(hi, 0, 1).reshape(n, q_deg * q_dim)
         pad = ((0, ext_n - n), (0, 0))
-        return ntt_ops._axis0_ntt(
+        y = ntt_ops._axis0_ntt(
             (jnp.pad(lo, pad), jnp.pad(hi, pad)), n_bits_ext, False
         )
+        return (y[0].T, y[1].T) if planar_out else y
 
     return jax.jit(body)
 
@@ -472,13 +491,15 @@ def _compute_q_device(ctx, q_stage, q_dim, q_deg, shift_in):
     scaled by shiftIn^p → NTT(ext) → tree chain runs as ONE XLA program
     over the (qDim, extN) q pair left by the cExp TAC executor."""
     n_pols_q = ctx.pil_info["mapSectionsN"].get(f"cm{q_stage}", 0)
-    ext = _jit_q_split(ctx.n_bits_ext, ctx.n_bits, q_dim, q_deg, shift_in)(ctx.dq)
+    planar = getattr(ctx, "planar", False)
+    ext = _jit_q_split(ctx.n_bits_ext, ctx.n_bits, q_dim, q_deg, shift_in,
+                       planar_out=planar)(ctx.dq)
     ctx.dsections["ext"][f"cm{q_stage}"] = ext
     if ctx.mesh is not None:
         ctx.trees[q_stage] = _merkelize_sharded(ctx, ext, n_pols_q)
     else:
         ctx.trees[q_stage] = device.merkelize(
-            ext, n_pols_q, ctx.ext_N, ctx.mh.split_linear_hash
+            ext, n_pols_q, ctx.ext_N, ctx.mh.split_linear_hash, planar=planar
         )
     return [ctx.mh.root(ctx.trees[q_stage])]
 
@@ -558,7 +579,9 @@ def _compute_evals_device(ctx, xis):
             s = f3.square(s)
 
     stride = 1 << ctx.extend_bits
-    executor = device.make_evals_executor(pil_info, stride, ctx.n_bits)
+    executor = device.make_evals_executor(
+        pil_info, stride, ctx.n_bits, planar=getattr(ctx, "planar", False)
+    )
     out = executor(ctx.dsections["ext"], _jgl.from_u64(pows2))
     evals_np = _jgl.to_u64(out)  # (nEv, 3)
     ctx.evals = [tuple(int(x) for x in row) for row in evals_np]
