@@ -162,8 +162,9 @@ def bench_lde():
     bits, ext_bits, cols = 20, 23, 8
     n, ext_n = 1 << bits, 1 << ext_bits
     rng = np.random.default_rng(0)
-    pair = gl.from_u64(rng.integers(0, P, size=(n, cols), dtype=np.uint64))
-    fn = ntt._jit_lde(bits, ext_bits, 7)
+    # planar (cols, n) layout — the production commit pipeline's LDE entry
+    pair = gl.from_u64(rng.integers(0, P, size=(cols, n), dtype=np.uint64))
+    fn = ntt._jit_lde_planar(bits, ext_bits, 7)
     fn(pair)  # warmup
 
     def timed():
@@ -201,14 +202,15 @@ def bench_merkle():
     bits, cols = 20, 8
     n = 1 << bits
     rng = np.random.default_rng(0)
-    pair = gl.from_u64(rng.integers(0, P, size=(n, cols), dtype=np.uint64))
+    # planar (cols, n) layout — the production commit pipeline's tree input
+    pair = gl.from_u64(rng.integers(0, P, size=(cols, n), dtype=np.uint64))
 
     # Chained timing with a scalar readback, like the NTT metric:
     # block_until_ready returns before remote-tunnel work completes (the
     # round-3 1.67e9 leaves/s artifact was this), so each step folds the
     # previous root into the next input and the chain ends in a readback.
     def step(p):
-        t = dev.merkelize(p, cols, n)
+        t = dev.merkelize(p, cols, n, planar=True)
         rlo, _ = t.levels[-1]
         return (p[0] ^ (rlo.reshape(-1)[0] & np.uint32(1)), p[1])
 

@@ -302,6 +302,7 @@ def linear_hash_split_planar(cols, width: int, batch_size: int | None = None):
     return linear_hash_planar(cat, cat[0].shape[0])
 
 
+@jax.jit
 def _hash_level_planar(dlo, dhi):
     """Planar level (4, 2m) -> (4, m) parent digests, ONE dispatch.
 

@@ -84,10 +84,22 @@ def make_executor(code_obj, dom: str, pil_info: dict, n_bits: int,
     code = code_obj["code"]
     cm_map = pil_info["cmPolsMap"]
 
-    def body(inputs):
+    def body(inputs, sizes):
         tmp = {}
         out_cm = {}
         out = {}
+
+        n_pub, n_ch = sizes
+        s_lo, s_hi = inputs["smalls"]
+        pub_pair = (s_lo[:n_pub], s_hi[:n_pub])
+        ch_pair = (
+            s_lo[n_pub : n_pub + 3 * n_ch].reshape(n_ch, 3),
+            s_hi[n_pub : n_pub + 3 * n_ch].reshape(n_ch, 3),
+        )
+        ev_pair = (
+            s_lo[n_pub + 3 * n_ch :].reshape(-1, 3),
+            s_hi[n_pub + 3 * n_ch :].reshape(-1, 3),
+        )
 
         def get_section_cols(section, offset, dim, prime):
             lo, hi = inputs["sections"][section]
@@ -117,13 +129,13 @@ def make_executor(code_obj, dom: str, pil_info: dict, n_bits: int,
             if t == "number":
                 return _const_pair(int(r["value"]))
             if t == "public":
-                lo, hi = inputs["publics"]
+                lo, hi = pub_pair
                 return (lo[None, r["id"] : r["id"] + 1], hi[None, r["id"] : r["id"] + 1])
             if t == "challenge":
-                lo, hi = inputs["challenges"]
+                lo, hi = ch_pair
                 return (lo[r["id"]][:, None], hi[r["id"]][:, None])
             if t == "eval":
-                lo, hi = inputs["evals"]
+                lo, hi = ev_pair
                 return (lo[r["id"]][:, None], hi[r["id"]][:, None])
             if t == "xDivXSubXi":
                 lo, hi = inputs["xDivXSubXi"]
@@ -194,7 +206,13 @@ def make_executor(code_obj, dom: str, pil_info: dict, n_bits: int,
         out["cm"] = out_cm
         return out
 
-    fn = jax.jit(body)
+    jitted = jax.jit(body, static_argnums=1)
+
+    def fn(inputs):
+        sizes = dict(inputs)
+        smalls_sizes = sizes.pop("sizes")
+        return jitted(sizes, smalls_sizes)
+
     _EXECUTOR_CACHE[key] = (fn, code_obj, pil_info)
     return fn
 
@@ -231,6 +249,22 @@ def pack_inputs(ctx, dom: str):
         buf = ctx.buffers.get(f"{name}{suffix}")
         if buf is not None:
             sections[name] = host_section(buf)
+    # publics/challenges/evals ride ONE flat upload (the remote-device
+    # tunnel costs ~60 ms latency per transfer, so three small arrays per
+    # program cost more than one big one); the traced body slices them
+    # back out by the static sizes embedded in the array shape
+    publics_np = np.array([int(p or 0) for p in ctx.publics], dtype=np.uint64)
+    challenges_np = np.array(
+        [list(c) for stage in ctx.challenges for c in stage] or [[0, 0, 0]],
+        dtype=np.uint64,
+    )
+    evals_np = np.array(
+        [list(e) for e in ctx.evals] or [[0, 0, 0]], dtype=np.uint64
+    )
+    smalls = gl.from_u64(np.concatenate(
+        [publics_np.reshape(-1), challenges_np.reshape(-1),
+         evals_np.reshape(-1)]
+    ))
     inputs = {
         "sections": sections,
         "x": (
@@ -238,18 +272,8 @@ def pack_inputs(ctx, dom: str):
             if device_mode
             else gl.from_u64(ctx.x_ext if dom == "ext" else ctx.x_n)
         ),
-        "publics": gl.from_u64(
-            np.array([int(p or 0) for p in ctx.publics], dtype=np.uint64)
-        ),
-        "challenges": gl.from_u64(
-            np.array(
-                [list(c) for stage in ctx.challenges for c in stage] or [[0, 0, 0]],
-                dtype=np.uint64,
-            )
-        ),
-        "evals": gl.from_u64(
-            np.array([list(e) for e in ctx.evals] or [[0, 0, 0]], dtype=np.uint64)
-        ),
+        "smalls": smalls,
+        "sizes": (len(publics_np), len(challenges_np)),
     }
     if dom == "ext":
         inputs["Zi"] = ctx.dZi if device_mode else gl.from_u64(ctx.Zi_ext)

@@ -294,6 +294,17 @@ def make_evals_executor(pil_info, stride: int, n_bits: int,
             # planar: (3, N); row-major: (N, 3)
             lev_list.append(gl.mul_const(coefs, n_inv))
 
+        # decimate each used section ONCE — the per-entry strided slices
+        # each paid a full-lane gather relayout of the same section
+        dec = {}
+        if planar:
+            for ev in ev_map:
+                sec = ("const" if ev["type"] == "const"
+                       else f"cm{cm_map[ev['id']]['stage']}")
+                if sec not in dec:
+                    slo, shi = sections[sec]
+                    dec[sec] = (slo[:, ::stride], shi[:, ::stride])
+
         out_lo, out_hi = [], []
         for ev in ev_map:
             if ev["type"] == "const":
@@ -306,14 +317,12 @@ def make_evals_executor(pil_info, stride: int, n_bits: int,
             slo, shi = sections[sec]
             lev = lev_list[openings.index(ev["prime"])]
             if planar:
-                # sections are (cols, extN): strided row slices, extension
-                # mul in the native leading-axis layout, sum over lanes
+                dlo, dhi = dec[sec]
                 if dim == 1:
-                    col = (slo[off, None, ::stride], shi[off, None, ::stride])
+                    col = (dlo[off, None, :], dhi[off, None, :])
                     prod = gl.mul(lev, col)  # (3, N) × (1, N)
                 else:
-                    col = (slo[off : off + 3, ::stride],
-                           shi[off : off + 3, ::stride])
+                    col = (dlo[off : off + 3, :], dhi[off : off + 3, :])
                     prod = jf3.mul(col, lev)
                 s = gl_sum1(prod)  # (3, 1)
                 acc = (s[0].T, s[1].T)  # (1, 3)

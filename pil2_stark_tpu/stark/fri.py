@@ -117,15 +117,14 @@ class FRI:
         if step == 0:
             pol2 = pol
         else:
-            wi = gl64.w_inv(pol_bits)
-            sinv = gl64.mul(np.uint64(shift_inv), gl64.powers(wi, pol2_n))
-            scale = np.ones((n_x, pol2_n), dtype=np.uint64)
-            for k in range(1, n_x):
-                scale[k] = gl64.mul(scale[k - 1], sinv)
             ch = gl.from_u64(
                 np.asarray(f3.as3(challenge), dtype=np.uint64).reshape(3, 1)
             )
-            pol2 = _jit_fold_eval(pol_bits, pol2_n)(pol, gl.from_u64(scale), ch)
+            # the de-scale table is static per (shape, step): it rides the
+            # trace as an O(pol2_n) constant expanded on device — the old
+            # path built the full (n_x, pol2_n) table on host and uploaded
+            # it per fold (one tunnel round-trip each, ~64 ms apiece)
+            pol2 = _jit_fold_eval(pol_bits, pol2_n, shift_inv)(pol, ch)
 
         if step != len(self.steps) - 1:
             n_groups = 1 << self.steps[step + 1]["nBits"]
@@ -177,14 +176,27 @@ class FRI:
     def _gather_jobs(self, jobs):
         from ..stark import device as _device
 
-        if getattr(self.mh, "hash_type", None) == "GL" and all(
-            isinstance(t, _device.DeviceTree) for t, _ in jobs
-        ):
+        out = [None] * len(jobs)
+        dev_jobs = []
+        for j, (t, i) in enumerate(jobs):
+            if (getattr(self.mh, "hash_type", None) == "GL"
+                    and isinstance(t, _device.DeviceTree)):
+                dev_jobs.append(j)
+            else:
+                # host trees (e.g. the const tree) gather in numpy — cheap
+                out[j] = self.mh.get_group_proofs(t, list(i))
+        if dev_jobs:
+            # ALL device trees in ONE program + ONE transfer, even when
+            # host trees are interleaved (the all-or-nothing gate used to
+            # degrade to one tunnel round-trip per tree whenever the host
+            # const tree was in the mix — i.e. on every single-chip proof)
             res = _device.gather_group_proofs_multi(
-                [t for t, _ in jobs], [list(i) for _, i in jobs]
+                [jobs[j][0] for j in dev_jobs],
+                [list(jobs[j][1]) for j in dev_jobs],
             )
-            return [[[v, p] for v, p in r] for r in res]
-        return [self.mh.get_group_proofs(t, list(i)) for t, i in jobs]
+            for j, r in zip(dev_jobs, res):
+                out[j] = [[v, p] for v, p in r]
+        return out
 
     def verify(self, fri_challenges, fri_queries, proof, check_query):
         """fri.js:107-174.  proof is the prover's fri list: [step0, step1,
@@ -256,8 +268,10 @@ import functools as _functools
 
 
 @_functools.lru_cache(maxsize=None)
-def _jit_fold_eval(pol_bits: int, pol2_n: int):
-    """Jitted grouped-iNTT + de-scale + Horner for one fold shape."""
+def _jit_fold_eval(pol_bits: int, pol2_n: int, shift_inv: int):
+    """Jitted grouped-iNTT + de-scale + Horner for one fold shape.  The
+    (n_x, pol2_n) de-scale table expands in-trace from an O(pol2_n)
+    constant row (sinv^k rows via n_x-1 fused vector muls)."""
     import jax
     import jax.numpy as jnp
 
@@ -268,11 +282,27 @@ def _jit_fold_eval(pol_bits: int, pol2_n: int):
     n_x = n // pol2_n
     bits = _log2(n_x)
 
-    def body(pol, scale, ch):
+    wi = gl64.w_inv(pol_bits)
+    sinv = gl64.mul(np.uint64(shift_inv), gl64.powers(wi, pol2_n))
+    sinv_c = (
+        (sinv & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        (sinv >> np.uint64(32)).astype(np.uint32),
+    )
+
+    def body(pol, ch):
         g = (pol[0].reshape(n_x, pol2_n * 3), pol[1].reshape(n_x, pol2_n * 3))
         coefs = ntt_ops.intt(g, bits)
         clo = coefs[0].reshape(n_x, pol2_n, 3)
         chi = coefs[1].reshape(n_x, pol2_n, 3)
+        rows_lo = [jnp.full((pol2_n,), 1, jnp.uint32)]
+        rows_hi = [jnp.zeros((pol2_n,), jnp.uint32)]
+        sv = (jnp.asarray(sinv_c[0]), jnp.asarray(sinv_c[1]))
+        acc = (rows_lo[0], rows_hi[0])
+        for _ in range(1, n_x):
+            acc = gl.mul(acc, sv)
+            rows_lo.append(acc[0])
+            rows_hi.append(acc[1])
+        scale = (jnp.stack(rows_lo), jnp.stack(rows_hi))
         clo, chi = gl.mul(
             (clo, chi), (scale[0][:, :, None], scale[1][:, :, None])
         )

@@ -295,6 +295,17 @@ def _run_code(ctx, code_obj, dom):
                 "ext-domain TAC cm writes are not used by the stark pipeline"
             )
         return
+    if ctx.device and getattr(ctx, "planar", False) and dom == "n":
+        # planar device mode: imPols outputs are already (d, N) planar
+        # device pairs — stage them for _extend_and_merkelize to splice
+        # into the section upload instead of paying a device->host
+        # download AND a host->device re-upload per program
+        pending = getattr(ctx, "dpending", None)
+        if pending is None:
+            pending = ctx.dpending = {}
+        for (section, offset, dim), val in out["cm"].items():
+            pending.setdefault(section, {})[offset] = (val, dim)
+        return
     if "q" in out:
         q = _jgl.to_u64(out["q"]).T
         ctx.q_ext[:, : q.shape[1]] = q
@@ -323,6 +334,27 @@ def _extend_and_merkelize(stage, ctx):
             # LDE -> leaf sponge -> tree levels run with rows on the lane
             # axis and ZERO on-device transposes
             dev_n = _jgl.from_u64(np.ascontiguousarray(buff_from.T))
+            pending = getattr(ctx, "dpending", {}).pop(f"cm{stage}", None)
+            if pending:
+                # splice device-staged imPols columns (from the TAC
+                # executor) into the uploaded host columns — the host
+                # buffer holds zeros at those offsets
+                parts_lo, parts_hi, cursor = [], [], 0
+                for offset in sorted(pending):
+                    val, dim = pending[offset]
+                    parts_lo.append(dev_n[0][cursor:offset])
+                    parts_hi.append(dev_n[1][cursor:offset])
+                    parts_lo.append(val[0])
+                    parts_hi.append(val[1])
+                    cursor = offset + dim
+                parts_lo.append(dev_n[0][cursor:])
+                parts_hi.append(dev_n[1][cursor:])
+                import jax.numpy as _jnp
+
+                dev_n = (
+                    _jnp.concatenate(parts_lo, axis=0),
+                    _jnp.concatenate(parts_hi, axis=0),
+                )
             ctx.dsections["n"][f"cm{stage}"] = dev_n
             if n_pols > 0:
                 ext = ntt_ops.lde_planar(dev_n, ctx.n_bits, ctx.n_bits_ext)
