@@ -165,18 +165,16 @@ def bench_lde():
     # planar (cols, n) layout — the production commit pipeline's LDE entry
     pair = gl.from_u64(rng.integers(0, P, size=(cols, n), dtype=np.uint64))
     fn = ntt._jit_lde_planar(bits, ext_bits, 7)
-    fn(pair)  # warmup
 
-    def timed():
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            out = fn(pair)
-            int(np.asarray(out[0][0, 0]))
-            best = min(best, time.perf_counter() - t0)
-        return best
+    # chained timing (same methodology as the NTT metric): fold one output
+    # scalar back into the next input so the chain is data-dependent, and
+    # difference two chain lengths to cancel the tunnel's constant
+    # dispatch+readback latency (~60 ms — comparable to the kernel itself)
+    def step(p):
+        o = fn(p)
+        return (p[0] ^ (o[0][0, 0] & np.uint32(1)), p[1])
 
-    dt = timed()
+    dt = _chain_time(step, pair, k_long=5)
     pps = ext_n * cols / dt  # extended points produced per second
     # per-stage model: iNTT stages sweep n rows, NTT stages ext_n rows;
     # normalized to extended points

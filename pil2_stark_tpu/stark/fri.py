@@ -25,7 +25,7 @@ def _log2(n):
 
 
 class FRI:
-    def __init__(self, stark_struct, mh=None):
+    def __init__(self, stark_struct, mh=None, planar=False):
         self.in_n_bits = stark_struct["nBitsExt"]
         self.max_deg_n_bits = stark_struct["nBits"]
         self.n_queries = stark_struct["nQueries"]
@@ -33,6 +33,10 @@ class FRI:
         self.mh = mh if mh is not None else MerkleHashGL(
             stark_struct.get("splitLinearHash", False)
         )
+        # planar device folds: pol pairs are (3, n) limb planes and step
+        # trees build planar — (n, 3) minor-dim-3 arrays tile terribly on
+        # TPU (lane padding), so the extension axis leads throughout
+        self.planar = planar
 
     def fold(self, step: int, pol, challenge):
         """pol: (len, 3) u64 — or a device (lo, hi) limb pair of that shape,
@@ -101,7 +105,7 @@ class FRI:
         from ..field import jax_gl as gl
         from . import device as dev
 
-        pol_bits = _log2(pol[0].shape[0])
+        pol_bits = _log2(pol[0].shape[1 if self.planar else 0])
         if step == 0:
             assert pol_bits == self.in_n_bits, "Invalid polynomial size"
 
@@ -124,19 +128,27 @@ class FRI:
             # trace as an O(pol2_n) constant expanded on device — the old
             # path built the full (n_x, pol2_n) table on host and uploaded
             # it per fold (one tunnel round-trip each, ~64 ms apiece)
-            pol2 = _jit_fold_eval(pol_bits, pol2_n, shift_inv)(pol, ch)
+            pol2 = _jit_fold_eval(pol_bits, pol2_n, shift_inv,
+                                  self.planar)(pol, ch)
 
         if step != len(self.steps) - 1:
             n_groups = 1 << self.steps[step + 1]["nBits"]
             group_size = (1 << self.steps[step]["nBits"]) // n_groups
-            buff = _transposed_device(pol2, self.steps[step + 1]["nBits"])
+            if self.planar:
+                buff = _transposed_device_planar(
+                    pol2, self.steps[step + 1]["nBits"])
+            else:
+                buff = _transposed_device(pol2, self.steps[step + 1]["nBits"])
             tree = dev.merkelize(
-                buff, 3 * group_size, n_groups, self.mh.split_linear_hash
+                buff, 3 * group_size, n_groups, self.mh.split_linear_hash,
+                planar=self.planar,
             )
             return {"pol": pol2, "tree": tree, "proof": {"root": tree.root}}
 
         # final step: the polynomial values feed the transcript — pull host
         pol2_np = gl.to_u64(pol2)
+        if self.planar:
+            pol2_np = np.ascontiguousarray(pol2_np.T)  # (m, 3) host layout
         proof = [vf3.to_scalar(pol2_np[i]) for i in range(pol2_np.shape[0])]
         return {"pol": pol2_np, "tree": None, "proof": proof}
 
@@ -268,10 +280,14 @@ import functools as _functools
 
 
 @_functools.lru_cache(maxsize=None)
-def _jit_fold_eval(pol_bits: int, pol2_n: int, shift_inv: int):
+def _jit_fold_eval(pol_bits: int, pol2_n: int, shift_inv: int,
+                   planar: bool = False):
     """Jitted grouped-iNTT + de-scale + Horner for one fold shape.  The
     (n_x, pol2_n) de-scale table expands in-trace from an O(pol2_n)
-    constant row (sinv^k rows via n_x-1 fused vector muls)."""
+    constant row (sinv^k rows via n_x-1 fused vector muls).
+
+    planar=True: pol is a (3, n) limb pair and the result stays (3,
+    pol2_n) — the (n, 3) minor-dim-3 layout lane-pads on TPU."""
     import jax
     import jax.numpy as jnp
 
@@ -289,11 +305,7 @@ def _jit_fold_eval(pol_bits: int, pol2_n: int, shift_inv: int):
         (sinv >> np.uint64(32)).astype(np.uint32),
     )
 
-    def body(pol, ch):
-        g = (pol[0].reshape(n_x, pol2_n * 3), pol[1].reshape(n_x, pol2_n * 3))
-        coefs = ntt_ops.intt(g, bits)
-        clo = coefs[0].reshape(n_x, pol2_n, 3)
-        chi = coefs[1].reshape(n_x, pol2_n, 3)
+    def scale_rows():
         rows_lo = [jnp.full((pol2_n,), 1, jnp.uint32)]
         rows_hi = [jnp.zeros((pol2_n,), jnp.uint32)]
         sv = (jnp.asarray(sinv_c[0]), jnp.asarray(sinv_c[1]))
@@ -302,7 +314,14 @@ def _jit_fold_eval(pol_bits: int, pol2_n: int, shift_inv: int):
             acc = gl.mul(acc, sv)
             rows_lo.append(acc[0])
             rows_hi.append(acc[1])
-        scale = (jnp.stack(rows_lo), jnp.stack(rows_hi))
+        return (jnp.stack(rows_lo), jnp.stack(rows_hi))
+
+    def body(pol, ch):
+        g = (pol[0].reshape(n_x, pol2_n * 3), pol[1].reshape(n_x, pol2_n * 3))
+        coefs = ntt_ops.intt(g, bits)
+        clo = coefs[0].reshape(n_x, pol2_n, 3)
+        chi = coefs[1].reshape(n_x, pol2_n, 3)
+        scale = scale_rows()
         clo, chi = gl.mul(
             (clo, chi), (scale[0][:, :, None], scale[1][:, :, None])
         )
@@ -314,7 +333,42 @@ def _jit_fold_eval(pol_bits: int, pol2_n: int, shift_inv: int):
             res = jf3.add(jf3.mul(res, ch), (clo[k], chi[k]))
         return (res[0].T, res[1].T)  # (pol2_n, 3)
 
-    return jax.jit(body)
+    def body_planar(pol, ch):
+        # (3, n) -> (3, n_x, pol2_n): group g of the row-major layout is
+        # rows [g*pol2_n, (g+1)*pol2_n) — a contiguous LANE block here
+        p3 = (pol[0].reshape(3, n_x, pol2_n), pol[1].reshape(3, n_x, pol2_n))
+        # grouped iNTT along the n_x axis: (n_x, 3*pol2_n) rows
+        g = (
+            jnp.moveaxis(p3[0], 1, 0).reshape(n_x, 3 * pol2_n),
+            jnp.moveaxis(p3[1], 1, 0).reshape(n_x, 3 * pol2_n),
+        )
+        coefs = ntt_ops.intt(g, bits)
+        clo = coefs[0].reshape(n_x, 3, pol2_n)
+        chi = coefs[1].reshape(n_x, 3, pol2_n)
+        scale = scale_rows()
+        clo, chi = gl.mul(
+            (clo, chi), (scale[0][:, None, :], scale[1][:, None, :])
+        )
+        res = (clo[n_x - 1], chi[n_x - 1])  # (3, pol2_n)
+        for k in range(n_x - 2, -1, -1):
+            res = jf3.add(jf3.mul(res, ch), (clo[k], chi[k]))
+        return res  # (3, pol2_n) planar
+
+    return jax.jit(body_planar if planar else body)
+
+
+def _transposed_device_planar(pol2, transpose_bits: int):
+    """Planar twin of _transposed_device: (3, n) pol -> (3·group_size,
+    n_groups) planar tree leaves (leaf j holds groups g at rows g*3+k)."""
+    import jax.numpy as jnp
+
+    n = pol2[0].shape[1]
+    w = 1 << transpose_bits
+    h = n // w
+    return (
+        jnp.transpose(pol2[0].reshape(3, h, w), (1, 0, 2)).reshape(3 * h, w),
+        jnp.transpose(pol2[1].reshape(3, h, w), (1, 0, 2)).reshape(3 * h, w),
+    )
 
 
 def _transposed_device(pol2, transpose_bits: int):

@@ -140,7 +140,7 @@ def prove(pil_info, expressions_info, const_pols, const_tree, inputs, debug=Fals
     with timer.phase("friPol"):
         _compute_fri_pol(ctx)
 
-    fri = FRI(pil_info["starkStruct"], ctx.mh)
+    fri = FRI(pil_info["starkStruct"], ctx.mh, planar=getattr(ctx, "planar", False))
     ctx.fri_proof = {}
     ctx.fri_trees = {}
     ctx.fri_trees[0] = [ctx.trees[i + 1] for i in range(pil_info["nStages"] + 1)] + [
@@ -668,7 +668,10 @@ def _compute_fri_pol(ctx):
     _run_code(ctx, code["code"], "ext")
 
     if ctx.device:
-        ctx.fri_pol = {0: (ctx.df[0].T, ctx.df[1].T)}  # (extN, 3) pair
+        if getattr(ctx, "planar", False):
+            ctx.fri_pol = {0: ctx.df}  # (3, extN) planar pair, no transpose
+        else:
+            ctx.fri_pol = {0: (ctx.df[0].T, ctx.df[1].T)}  # (extN, 3) pair
     else:
         ctx.fri_pol = {0: ctx.f_ext.copy()}
 
