@@ -332,34 +332,58 @@ def _extend_and_merkelize(stage, ctx):
         if ctx.planar:
             # planar commit pipeline: the host transposes once (cheap) so
             # LDE -> leaf sponge -> tree levels run with rows on the lane
-            # axis and ZERO on-device transposes
-            dev_n = _jgl.from_u64(np.ascontiguousarray(buff_from.T))
+            # axis and ZERO on-device transposes.  Only columns the host
+            # actually computed ride the tunnel: device-staged imPols
+            # splice in place, empty sections never transfer (each
+            # host->device round-trip costs ~60 ms of latency)
+            import jax.numpy as _jnp
+
             pending = getattr(ctx, "dpending", {}).pop(f"cm{stage}", None)
-            if pending:
-                # splice device-staged imPols columns (from the TAC
-                # executor) into the uploaded host columns — the host
-                # buffer holds zeros at those offsets
-                parts_lo, parts_hi, cursor = [], [], 0
+            if not pending:
+                if n_pols > 0:
+                    dev_n = _jgl.from_u64(np.ascontiguousarray(buff_from.T))
+                else:
+                    dev_n = (_jnp.zeros((0, ctx.N), _jnp.uint32),
+                             _jnp.zeros((0, ctx.N), _jnp.uint32))
+            else:
+                # ONE packed upload of the host-computed column ranges
+                gaps, cursor = [], 0
                 for offset in sorted(pending):
+                    if offset > cursor:
+                        gaps.append((cursor, offset))
+                    cursor = offset + pending[offset][1]
+                if cursor < n_pols:
+                    gaps.append((cursor, n_pols))
+                if gaps:
+                    host_pack = _jgl.from_u64(np.ascontiguousarray(
+                        np.concatenate(
+                            [buff_from.T[a:b] for a, b in gaps], axis=0)))
+                parts_lo, parts_hi = [], []
+                cursor = off_h = 0
+                for offset in sorted(pending):
+                    if offset > cursor:
+                        w = offset - cursor
+                        parts_lo.append(host_pack[0][off_h:off_h + w])
+                        parts_hi.append(host_pack[1][off_h:off_h + w])
+                        off_h += w
                     val, dim = pending[offset]
-                    parts_lo.append(dev_n[0][cursor:offset])
-                    parts_hi.append(dev_n[1][cursor:offset])
                     parts_lo.append(val[0])
                     parts_hi.append(val[1])
                     cursor = offset + dim
-                parts_lo.append(dev_n[0][cursor:])
-                parts_hi.append(dev_n[1][cursor:])
-                import jax.numpy as _jnp
-
+                if cursor < n_pols:
+                    w = n_pols - cursor
+                    parts_lo.append(host_pack[0][off_h:off_h + w])
+                    parts_hi.append(host_pack[1][off_h:off_h + w])
                 dev_n = (
                     _jnp.concatenate(parts_lo, axis=0),
                     _jnp.concatenate(parts_hi, axis=0),
-                )
+                ) if len(parts_lo) > 1 else (parts_lo[0], parts_hi[0])
             ctx.dsections["n"][f"cm{stage}"] = dev_n
             if n_pols > 0:
                 ext = ntt_ops.lde_planar(dev_n, ctx.n_bits, ctx.n_bits_ext)
             else:
-                ext = _jgl.from_u64(np.zeros((0, ctx.ext_N), dtype=np.uint64))
+                ext = (_jnp.zeros((0, ctx.ext_N), _jnp.uint32),
+                       _jnp.zeros((0, ctx.ext_N), _jnp.uint32))
             tree = device.merkelize(
                 ext, n_pols, ctx.ext_N, ctx.mh.split_linear_hash, planar=True
             )
