@@ -388,6 +388,11 @@ class DeviceTree:
     elements: tuple  # (lo, hi) pair (height, width) — or (width, height) planar
     levels: list  # [(lo, hi) (n, 4), ..., root (1, 4)] — planar: (4, n)
     planar: bool = False  # lanes-are-rows layout (planar commit pipeline)
+    # uniform=True: every node of a level is the same digest (width-0
+    # power-of-two trees), so each level is stored as ONE (1, 4) row and
+    # gathers clamp their indices — materializing the broadcast levels
+    # cost ~0.2 s per empty stage at 2^23
+    uniform: bool = False
 
     @functools.cached_property
     def root(self) -> np.ndarray:
@@ -407,26 +412,6 @@ def _zero_digest_chain(height: int) -> np.ndarray:
             np.concatenate([digests[l - 1], digests[l - 1]])
         )
     return digests
-
-
-@functools.lru_cache(maxsize=None)
-def _jit_const_levels(height: int):
-    """Broadcast a (n_levels, 4) digest pair into the full level arrays of a
-    uniform (width-0, power-of-two) tree, entirely on device."""
-
-    def body(digests):
-        lo, hi = digests
-        out = []
-        n, l = height, 0
-        while n > 1:
-            out.append((jnp.broadcast_to(lo[l], (n, 4)),
-                        jnp.broadcast_to(hi[l], (n, 4))))
-            n //= 2
-            l += 1
-        out.append((lo[l : l + 1], hi[l : l + 1]))
-        return tuple(out)
-
-    return jax.jit(body)
 
 
 def merkelize(elements, width: int, height: int, split: bool = False,
@@ -450,10 +435,16 @@ def merkelize(elements, width: int, height: int, split: bool = False,
         # round 2 uploaded ~2·height·32 B of identical host bytes through
         # the device tunnel, which alone cost seconds per empty stage.
         z = np.zeros((height, 0), dtype=np.uint64)
-        levels = _jit_const_levels(height)(gl.from_u64(_zero_digest_chain(height)))
+        chain = gl.from_u64(_zero_digest_chain(height))
+        # one (1, 4) row per level; gathers clamp indices (uniform=True)
+        n_levels = height.bit_length()
+        levels = [
+            (chain[0][l : l + 1], chain[1][l : l + 1])
+            for l in range(n_levels)
+        ]
         return DeviceTree(
             width=0, height=height, elements=gl.from_u64(z),
-            levels=list(levels),
+            levels=levels, uniform=True,
         )
     if width == 0:
         from ..hash import merkle as merkle_host
@@ -474,17 +465,19 @@ def gather_group_proofs(tree: DeviceTree, idxs):
     return gather_group_proofs_multi([tree], [idxs])[0]
 
 
-def _tree_flat_gather(elements, levels, idxs, planar: bool):
+def _tree_flat_gather(elements, levels, idxs, planar: bool,
+                      uniform: bool = False):
     """Values row + sibling path per query of one tree, as a flat
     (Q, width + 4·n_levels) pair (traced building block).  Planar trees
     gather lanes (axis 1) and transpose the tiny (span, Q) result — Q is
-    nQueries, so the transpose is negligible next to the take."""
+    nQueries, so the transpose is negligible next to the take.  Uniform
+    trees store one row per level; every index maps to it."""
     ax = 1 if planar else 0
     parts_lo = [jnp.take(elements[0], idxs, axis=ax)]
     parts_hi = [jnp.take(elements[1], idxs, axis=ax)]
     cur = idxs
     for lvl in levels:
-        sib_idx = cur ^ 1
+        sib_idx = (cur ^ 1) if not uniform else jnp.zeros_like(cur)
         parts_lo.append(jnp.take(lvl[0], sib_idx, axis=ax))
         parts_hi.append(jnp.take(lvl[1], sib_idx, axis=ax))
         cur = cur >> 1
@@ -504,8 +497,9 @@ def _jit_gather_multi(trees, idx_arrays, planar_flags):
     one tunnel round-trip per tree: ~10 trees ≈ 0.45 s of the round-3
     2^20 prove)."""
     outs = [
-        _tree_flat_gather(elements, levels, idxs, pl)
-        for (elements, levels), idxs, pl in zip(trees, idx_arrays, planar_flags)
+        _tree_flat_gather(elements, levels, idxs, pl, un)
+        for (elements, levels), idxs, (pl, un)
+        in zip(trees, idx_arrays, planar_flags)
     ]
     return (
         jnp.concatenate([o[0] for o in outs], axis=1),
@@ -523,7 +517,7 @@ def gather_group_proofs_multi(trees, idxs_list):
     idx_arrays = tuple(
         jnp.asarray(np.asarray(i, dtype=np.int32)) for i in idxs_list
     )
-    planar_flags = tuple(t.planar for t in trees)
+    planar_flags = tuple((t.planar, t.uniform) for t in trees)
     flat_np = gl.to_u64(_jit_gather_multi(args, idx_arrays, planar_flags))
     results = []
     off = 0
