@@ -214,18 +214,25 @@ def bench_merkle():
 
     dt = _chain_time(step, pair, k_short=1, k_long=5)
     leaves_per_s = n / dt
-    # VPU compute model (hashing is compute-bound; the HBM bound is ~600x
-    # higher): ~2400 GL muls/permutation x ~45 u32 ALU ops/mul, v5e VPU
-    # ~1.9e12 u32 ops/s, ~2 permutations per leaf (1 leaf sponge at w=8 +
-    # amortized tree pair-hashes).
-    vpu_ops = 1.9e12
-    ops_per_perm = 2400 * 45.0
+    # MXU-design compute model (round 5; the round-4 all-VPU model no
+    # longer described the kernel).  Per permutation the Pallas kernel
+    # (hash/pallas_poseidon.py) does ~118 element-sboxes x 4 GL muls x
+    # ~90 u32 VPU ops plus 30 x (limb extract ~32 + recombine ~45) x 12
+    # rows of matmul glue and ~6k ops of adds/selects ~= 7.0e4 u32
+    # VPU-op-equivalents (the 30 linear maps themselves ride the MXU:
+    # 128^2 x B MACs each, ~9% of the chip's int8 MAC budget — not the
+    # binding resource).  v5e VPU ~= 4 ops/lane/cycle x 1024 lanes x
+    # 0.94 GHz = 3.85e12 ops/s.  Tree perms/leaf at w=8: 1 leaf sponge +
+    # (n-1)/n pair hashes ~= 2.0.
+    vpu_ops = 3.85e12
+    ops_per_perm = 7.0e4
     perms_per_leaf = 2.0
     model_leaves = vpu_ops / (ops_per_perm * perms_per_leaf)
     return _emit(
         f"poseidon_merkle_2^{bits}x{cols}_leaves_per_s", leaves_per_s,
         "leaves/s/chip", leaves_per_s / (0.70 * model_leaves),
-        note="VPU compute model; see module docstring",
+        perms_per_s_equiv=round(leaves_per_s * perms_per_leaf),
+        note="MXU-design VPU-bound model; see bench_merkle comments",
     )
 
 

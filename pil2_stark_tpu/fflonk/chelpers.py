@@ -67,7 +67,15 @@ _OP = {o: i for i, o in enumerate(OPS)}
 def _pack_ref(r, numbers, number_ids):
     """ref dict -> (class, id, prime) u32 triple."""
     t = r["type"]
-    prime = 1 if r.get("prime") else 0
+    p = r.get("prime")
+    if p not in (None, False, True, 0, 1):
+        # fr_ctx._shift_amount supports arbitrary row offsets, but this
+        # encoding carries one bit — reject rather than silently truncate
+        raise ValueError(
+            f"fflonk chelpers: non-boolean row offset prime={p!r} is not "
+            "encodable (only next-row references are)"
+        )
+    prime = 1 if p else 0
     if t == "number":
         v = int(r["value"]) % FR
         if v not in number_ids:
@@ -168,7 +176,12 @@ def execute_stream(ctx, unit, dom, ret=False):
         d, v = last
         if d[0] == i_cm or d[0] == _CLS["tmp"]:
             return get(d[0], d[1], d[2])
-        return v
+        # parity with fr_ctx.execute_code(ret=True), whose get_ref has no
+        # branch for non-readable dest classes ('q') and raises
+        raise ValueError(
+            f"execute_stream(ret=True): dest class "
+            f"{CLASSES[d[0]]!r} is not readable"
+        )
     return None
 
 

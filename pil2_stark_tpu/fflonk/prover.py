@@ -42,6 +42,30 @@ def fflonk_prove(zkey, ptau, pil_info, expressions_info, cm1_values, publics,
     interpreter (the reference's generated-C++ placement,
     fflonk_chelpers.js:1-242) instead of the dict-dispatch executor."""
     ctx = FrProverCtx(pil_info, expressions_info, zkey, debug=debug)
+    if chelpers is not None:
+        # a .fflonkchelpers.bin built for a different circuit would fail
+        # deep inside a stage with an obscure IndexError (or prove garbage
+        # caught only at verify) — check identity up front
+        # in-memory build() units carry no header; file artifacts do
+        if ("pilPower" in chelpers
+                and chelpers["pilPower"] != pil_info["pilPower"]):
+            raise ValueError(
+                f"fflonk chelpers artifact was built for pilPower="
+                f"{chelpers.get('pilPower')}, circuit has "
+                f"{pil_info['pilPower']} — wrong circuit?"
+            )
+        n_units = len(expressions_info["imPolsCode"])
+        if len(chelpers["imPols"]) != n_units:
+            raise ValueError(
+                f"fflonk chelpers artifact has {len(chelpers['imPols'])} "
+                f"imPols units, circuit expects {n_units} — wrong circuit?"
+            )
+        if not any(u["expId"] == pil_info["cExpId"]
+                   for u in chelpers["expressions"]):
+            raise ValueError(
+                f"fflonk chelpers artifact lacks the constraint expression "
+                f"cExpId={pil_info['cExpId']} — wrong circuit?"
+            )
     ctx.chelpers = chelpers
     ctx.ptau = ptau
     ctx.rng = rng or random.SystemRandom()

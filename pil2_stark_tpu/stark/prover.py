@@ -126,6 +126,17 @@ def prove(pil_info, expressions_info, const_pols, const_tree, inputs, debug=Fals
     if debug:
         return ctx.errors
 
+    leftover = getattr(ctx, "dpending", None)
+    if leftover:
+        # planar TAC writes stage into dpending keyed by section and are
+        # consumed by _extend_and_merkelize's cm{stage} pop — anything
+        # still here targeted a section no commit consumed and would be
+        # silently dropped (it also never reached host buffers)
+        raise RuntimeError(
+            f"planar device TAC writes to section(s) {sorted(leftover)} "
+            "were never consumed by a stage commit"
+        )
+
     evals_stage = pil_info["nStages"] + 2
     _set_challenges(evals_stage, ctx, challenge, rng)
 
@@ -191,6 +202,15 @@ def prove(pil_info, expressions_info, const_pols, const_tree, inputs, debug=Fals
     }
     for i in range(pil_info["nStages"] + 1):
         proof[f"root{i + 1}"] = ctx.mh.root(ctx.trees[i + 1])
+
+    # stage{N}.upload was accumulated INSIDE the commit phase context
+    # (see _extend_and_merkelize) — subtract it so the phase table
+    # attributes tunnel IO separately from LDE+hash compute
+    for key, t_up in list(timer.timings.items()):
+        if key.endswith(".upload"):
+            ckey = key.replace(".upload", ".commit")
+            if ckey in timer.timings:
+                timer.timings[ckey] = max(0.0, timer.timings[ckey] - t_up)
 
     return {
         "proof": proof,
@@ -338,6 +358,9 @@ def _extend_and_merkelize(stage, ctx):
             # host->device round-trip costs ~60 ms of latency)
             import jax.numpy as _jnp
 
+            import time as _time
+
+            t_up0 = _time.perf_counter()
             pending = getattr(ctx, "dpending", {}).pop(f"cm{stage}", None)
             if not pending:
                 if n_pols > 0:
@@ -378,6 +401,17 @@ def _extend_and_merkelize(stage, ctx):
                     _jnp.concatenate(parts_lo, axis=0),
                     _jnp.concatenate(parts_hi, axis=0),
                 ) if len(parts_lo) > 1 else (parts_lo[0], parts_hi[0])
+            # attribute the witness transfer separately from LDE+hash:
+            # the host->device tunnel (~18 MB/s) is IO, not compute, and
+            # prove() subtracts this from the commit phase (BENCH phases)
+            import jax as _jax
+
+            _jax.block_until_ready(dev_n)
+            t_up = _time.perf_counter() - t_up0
+            tm = getattr(ctx, "timer", None)
+            if tm is not None:
+                key = f"stage{stage}.upload"
+                tm.timings[key] = tm.timings.get(key, 0.0) + t_up
             ctx.dsections["n"][f"cm{stage}"] = dev_n
             if n_pols > 0:
                 ext = ntt_ops.lde_planar(dev_n, ctx.n_bits, ctx.n_bits_ext)

@@ -96,6 +96,34 @@ def probe_merkle_parts():
     dt = chain_time(tree, rows)
     print(f"full tree 2^20 x {w}: {n/dt/1e6:.1f}M leaves/s  ({dt*1e3:.1f} ms)")
 
+    # planar pipeline twins (the production commit path)
+    cols = (rows[0].T, rows[1].T)
+
+    def leaves_p(c):
+        d = jp._leaf_digests_planar(c, w, n, False)
+        return (c[0] ^ (d[0].reshape(-1)[0] & np.uint32(1)), c[1])
+
+    dt = chain_time(leaves_p, cols)
+    print(f"planar leaf sponges 2^20 x {w}: {n/dt/1e6:.1f}M leaves/s  ({dt*1e3:.1f} ms)")
+
+    dp = (d[0].T, d[1].T)
+
+    def level_p(x):
+        o = jp._hash_level_planar(x[0], x[1])
+        pad = ((0, 0), (0, x[0].shape[1] - o[0].shape[1]))
+        return (jnp.pad(o[0], pad) ^ (x[0] & np.uint32(1)), x[1])
+
+    dt = chain_time(level_p, dp)
+    print(f"planar level hash 2^20->2^19: {(n//2)/dt/1e6:.1f}M pairs/s  ({dt*1e3:.1f} ms)")
+
+    def tree_p(c):
+        t = dev.merkelize(c, w, n, planar=True)
+        rlo, _ = t.levels[-1]
+        return (c[0] ^ (rlo.reshape(-1)[0] & np.uint32(1)), c[1])
+
+    dt = chain_time(tree_p, cols)
+    print(f"planar full tree 2^20 x {w}: {n/dt/1e6:.1f}M leaves/s  ({dt*1e3:.1f} ms)")
+
 
 def probe_ntt_parts():
     from pil2_stark_tpu.field import jax_gl as gl
