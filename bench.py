@@ -25,10 +25,12 @@ vs_baseline semantics (the reference publishes no numbers — BASELINE.md):
   HBM sweep, `hbm_passes` total) is reported separately as
   `ideal_pass_frac` — the honest statement of remaining headroom for a
   Pallas VMEM-resident base kernel.
-- Merkle: measured / (0.70 × a VPU compute model): Poseidon-GL ≈ 2400 GL
-  muls/permutation ≈ 1.1e5 u32 ALU ops; v5e VPU ≈ 2 ops/cycle/lane ×
-  1024 lanes × 0.94 GHz ≈ 1.9e12 u32 ops/s; ~2 permutations per leaf at
-  width 8.  (The HBM bound is ~600× higher — hashing is compute-bound.)
+- Merkle: measured / (0.70 × the MXU-design compute model in
+  bench_merkle): the Pallas kernel's VPU work (sboxes + limb
+  extract/recombine around the MXU linear maps) ≈ 7.0e4 u32 ops per
+  permutation against ≈ 3.85e12 VPU ops/s, ~2 permutations per leaf at
+  width 8.  (The HBM bound is ~600× higher — hashing is compute-bound;
+  the round-4 all-VPU model described a kernel that no longer exists.)
 - prove: vs_baseline = stage-model roofline seconds / measured, over the
   dominant movements (stage LDEs + tree hash traffic + Q + FRI).
 """

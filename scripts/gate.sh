@@ -8,6 +8,8 @@
 #   sh scripts/gate.sh fast   # collection + fast subset (inner-loop check)
 set -e
 cd "$(dirname "$0")/.."
+# STATUS.md perf numbers must cite the newest bench artifact (drift guard)
+python tools/status_perf.py --check STATUS.md
 python -m pytest tests/ --collect-only -q >/dev/null
 if [ "$1" = "fast" ]; then
     python -m pytest tests/test_field.py tests/test_poseidon.py tests/test_ntt.py \
