@@ -77,6 +77,23 @@ def _canon(lo, hi):
     return jnp.where(geq, lo2, lo), jnp.where(geq, hi2, hi)
 
 
+def _fold_carry(lo, hi, c):
+    """(lo, hi) + c·2^64 ≡ (lo, hi) + c·ε for ANY u64 (c in {0,1}).
+
+    Two folds: the first ε-add can carry past hi = 0xFFFFFFFF (dropping
+    another 2^64 ≡ ε) — with canonical operands the bounds exclude this,
+    with lazy any-u64 representatives it happens at ~2^-32 per op, which
+    a 2^21-leaf tree build hits."""
+    a1 = c * EPS32
+    lo2 = lo + a1
+    c2 = _b2u(lo2 < lo)
+    hi2 = hi + c2
+    w = c2 & _b2u(hi2 == 0)
+    lo3 = lo2 + w * EPS32
+    c3 = _b2u(lo3 < lo2)
+    return lo3, hi2 + c3
+
+
 def _add(alo, ahi, blo, bhi):
     """Lazy GL add: any-u64 in, any-u64 representative out (no canon)."""
     lo = alo + blo
@@ -85,11 +102,7 @@ def _add(alo, ahi, blo, bhi):
     c1 = h1 < ahi
     hi = h1 + c
     c2 = hi < h1
-    carry = _b2u(c1 | c2)
-    addend = carry * EPS32
-    lo2 = lo + addend
-    c3 = _b2u(lo2 < lo)
-    return lo2, hi + c3
+    return _fold_carry(lo, hi, _b2u(c1 | c2))
 
 
 def _mul32(a, b):
@@ -135,10 +148,7 @@ def _mul(alo, ahi, blo, bhi):
     bor0 = _b2u(n0 < n3)
     hi = n1b - bor0
     bor64 = n1b < bor0
-    subl = _b2u(bor64) * EPS32
-    lo2 = lo - subl
-    bor1 = _b2u(lo < subl)
-    hi2 = hi - bor1
+    lo2, hi2 = _fold_borrow(lo, hi, _b2u(bor64))
     t1lo = jnp.uint32(0) - n2c
     t1hi = n2c - _b2u(n2c != 0)
     lo3 = lo2 + t1lo
@@ -147,11 +157,21 @@ def _mul(alo, ahi, blo, bhi):
     c1_ = h1 < hi2
     hi3 = h1 + c
     c2_ = hi3 < h1
-    carry = _b2u(c1_ | c2_)
-    addend = carry * EPS32
-    lo4 = lo3 + addend
-    c3 = _b2u(lo4 < lo3)
-    return _canon(lo4, hi3 + c3)
+    lo4, hi4 = _fold_carry(lo3, hi3, _b2u(c1_ | c2_))
+    return _canon(lo4, hi4)
+
+
+def _fold_borrow(lo, hi, b):
+    """(lo, hi) - b·2^64 ≡ (lo, hi) - b·ε for ANY u64 (b in {0,1});
+    the ε-subtract can itself borrow past hi = 0 (see _fold_carry)."""
+    s1 = b * EPS32
+    lo2 = lo - s1
+    b2 = _b2u(lo < s1)
+    hi2 = hi - b2
+    w = b2 & _b2u(hi == 0)
+    lo3 = lo2 - w * EPS32
+    b3 = _b2u(lo2 < w * EPS32)
+    return lo3, hi2 - b3
 
 
 def _pow7(lo, hi):
@@ -291,11 +311,7 @@ def _recombine_packed(y):
     c1_ = h1 < hi
     hi3 = h1 + c
     c2_ = hi3 < h1
-    carry = _b2u(c1_ | c2_)
-    addend = carry * EPS32
-    lo4 = lo3 + addend
-    c3 = _b2u(lo4 < lo3)
-    return lo4, hi3 + c3
+    return _fold_carry(lo3, hi3, _b2u(c1_ | c2_))
 
 
 def _kernel(c_lo, c_hi, wq_m, wq_p, wq_s, x_ref, out_ref):

@@ -129,6 +129,33 @@ def _b2u(b):
 _EPS32 = np.uint32(0xFFFFFFFF)
 
 
+def _fold_carry(lo, hi, c):
+    """(lo, hi) + c·2^64 ≡ + c·ε for ANY u64; the ε-add can carry past
+    hi = 0xFFFFFFFF (dropping another 2^64 ≡ ε) — reachable at ~2^-32
+    per op with lazy representatives, so fold twice."""
+    a1 = c * _EPS32
+    lo2 = lo + a1
+    c2 = _b2u(lo2 < lo)
+    hi2 = hi + c2
+    w = c2 & _b2u(hi2 == 0)
+    lo3 = lo2 + w * _EPS32
+    c3 = _b2u(lo3 < lo2)
+    return lo3, hi2 + c3
+
+
+def _fold_borrow(lo, hi, b):
+    """(lo, hi) - b·2^64 ≡ - b·ε for ANY u64; the ε-subtract can borrow
+    past hi = 0 — fold twice (see _fold_carry)."""
+    s1 = b * _EPS32
+    lo2 = lo - s1
+    b2 = _b2u(lo < s1)
+    hi2 = hi - b2
+    w = b2 & _b2u(hi == 0)
+    lo3 = lo2 - w * _EPS32
+    b3 = _b2u(lo2 < w * _EPS32)
+    return lo3, hi2 - b3
+
+
 def _lazy_add(a, b):
     alo, ahi = a
     blo, bhi = b
@@ -138,10 +165,7 @@ def _lazy_add(a, b):
     c1 = h1 < ahi
     hi = h1 + c
     c2 = hi < h1
-    addend = _b2u(c1 | c2) * _EPS32
-    lo2 = lo + addend
-    c3 = _b2u(lo2 < lo)
-    return lo2, hi + c3
+    return _fold_carry(lo, hi, _b2u(c1 | c2))
 
 
 def _lazy_sub(a, b):
@@ -153,10 +177,7 @@ def _lazy_sub(a, b):
     b1 = ahi < bhi
     hi = h1 - bor
     b2 = h1 < bor
-    subl = _b2u(b1 | b2) * _EPS32
-    lo2 = lo - subl
-    bor2 = _b2u(lo < subl)
-    return lo2, hi - bor2
+    return _fold_borrow(lo, hi, _b2u(b1 | b2))
 
 
 def _lazy_mul(a, b):
@@ -165,10 +186,7 @@ def _lazy_mul(a, b):
     bor0 = _b2u(n0 < n3)
     hi = n1 - bor0
     bor64 = n1 < bor0
-    subl = _b2u(bor64) * _EPS32
-    lo2 = lo - subl
-    bor1 = _b2u(lo < subl)
-    hi2 = hi - bor1
+    lo2, hi2 = _fold_borrow(lo, hi, _b2u(bor64))
     t1lo = jnp.uint32(0) - n2
     t1hi = n2 - _b2u(n2 != 0)
     lo3 = lo2 + t1lo
@@ -177,10 +195,7 @@ def _lazy_mul(a, b):
     c1_ = h1 < hi2
     hi3 = h1 + c
     c2_ = hi3 < h1
-    addend = _b2u(c1_ | c2_) * _EPS32
-    lo4 = lo3 + addend
-    c3 = _b2u(lo4 < lo3)
-    return lo4, hi3 + c3
+    return _fold_carry(lo3, hi3, _b2u(c1_ | c2_))
 
 
 def _canon_pair(lo, hi):

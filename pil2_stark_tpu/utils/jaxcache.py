@@ -58,8 +58,18 @@ def setup_cache() -> str:
     """Point JAX_COMPILATION_CACHE_DIR at the host/toolchain-keyed dir
     (unless the caller already set one) and return the directory used."""
     if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+        # Sub-key by the JAX platform: axon (TPU-tunnel) sessions write
+        # CPU AOT entries whose LLVM tuning features (+prefer-no-gather/
+        # scatter) come from the REMOTE compile relay's host, and pure-CPU
+        # processes then probe them with "machine feature not supported"
+        # fallback spam on every load (the MULTICHIP_r04 tail).  Platform
+        # families never share entries anyway, so give each its own dir.
+        # The axon/default suffix is kept EMPTY so existing warm TPU
+        # caches stay valid.
+        plat = os.environ.get("JAX_PLATFORMS", "")
+        suffix = "_cpu" if "cpu" in plat else ""
         os.environ["JAX_COMPILATION_CACHE_DIR"] = (
-            f"/tmp/jax_cache_pil2stark_{cache_key()}"
+            f"/tmp/jax_cache_pil2stark_{cache_key()}{suffix}"
         )
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     return os.environ["JAX_COMPILATION_CACHE_DIR"]
