@@ -122,18 +122,20 @@ def gl_sum0(a):
 
 def gl_sum1(a):
     """Tree-sum along axis 1 (lanes) of a (r, n) gl pair -> (r, 1).
-    Halving rides contiguous (r, n/2, 2) reshapes, never strided slices."""
+
+    Folds CONTIGUOUS halves (GL addition is exactly associative, so the
+    changed summation order is bit-identical): the round-4 (r, n/2, 2)
+    interleave paid a stride-2 lane gather relayout at EVERY of the
+    log2(n) levels — the dominant cost of the evals phase."""
     lo, hi = a
-    r = lo.shape[0]
     while lo.shape[1] > 1:
         n = lo.shape[1]
         if n % 2:
             lo = jnp.pad(lo, ((0, 0), (0, 1)))
             hi = jnp.pad(hi, ((0, 0), (0, 1)))
             n += 1
-        l2 = lo.reshape(r, n // 2, 2)
-        h2 = hi.reshape(r, n // 2, 2)
-        lo, hi = gl.add((l2[:, :, 0], h2[:, :, 0]), (l2[:, :, 1], h2[:, :, 1]))
+        h = n // 2
+        lo, hi = gl.add((lo[:, :h], hi[:, :h]), (lo[:, h:], hi[:, h:]))
     return (lo, hi)
 
 
