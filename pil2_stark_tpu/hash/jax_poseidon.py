@@ -321,36 +321,16 @@ def _hash_level_planar_jit(dlo, dhi):
     return (out[0][:4], out[1][:4])
 
 
-# Planar level programs are BUCKETED by padded input width: a tree has
-# ~log2(H) distinct level sizes and every size used to compile its own
-# XLA program (per tree-height family) — ~20 programs of the same body.
-# Padding each level to one of three fixed widths (and slicing the
-# parents back) caps the whole process at three level programs; pad
-# lanes hash garbage pairs that are sliced off.  Chunking above the
-# largest bucket reuses the largest program.
-_LVL_BUCKETS = (1 << 13, 1 << 15, 1 << 17)
-
-
+# NOTE (round 5): a bucketed-width variant of this dispatch (pad each
+# level to one of 3 fixed widths to cap XLA program count) was tried and
+# REVERTED: the Mosaic kernels are already bucket-shaped inside
+# permute_planes_pair, so it only saved trivial XLA wrapper compiles,
+# while its eager pad/slice dispatches tripled the per-tree dispatch
+# count — which collapses throughput when the device tunnel's dispatch
+# latency spikes (PROBES_r05.md chip-state variance note).
 def _hash_level_planar(dlo, dhi):
-    """Planar level (4, 2m) -> (4, m), through the bucketed programs."""
-    n = dlo.shape[1]
-    top = _LVL_BUCKETS[-1]
-    if n > top:
-        parts = [
-            _hash_level_planar(dlo[:, i : i + top], dhi[:, i : i + top])
-            for i in range(0, n, top)
-        ]
-        return (
-            jnp.concatenate([p[0] for p in parts], axis=1),
-            jnp.concatenate([p[1] for p in parts], axis=1),
-        )
-    pb = next(b for b in _LVL_BUCKETS if b >= n)
-    if pb != n:
-        pad = ((0, 0), (0, pb - n))
-        dlo = jnp.pad(dlo, pad)
-        dhi = jnp.pad(dhi, pad)
-    out = _hash_level_planar_jit(dlo, dhi)
-    return (out[0][:, : n // 2], out[1][:, : n // 2])
+    """Planar level (4, 2m) -> (4, m), one jit program per level size."""
+    return _hash_level_planar_jit(dlo, dhi)
 
 
 @functools.lru_cache(maxsize=None)

@@ -34,8 +34,11 @@ one of three fixed buckets so the process compiles at most three kernel
 shapes.
 
 Differentially tested against the numpy oracle / golden digests
-(tests/test_pallas_poseidon.py) — bit-exact.  53.3M perms/s on v5e at the
-2^16 bucket (tools/exp_poseidon.py; the round-4 16-row kernel ran 20.8M).
+(tests/test_pallas_poseidon.py) — bit-exact; the lazy fold corners are
+pinned by tests/test_lazy_gl.py (adversarial near-2^64 operands).
+Sustained (long-chain) rate ~33M perms/s on v5e vs ~21M for the round-4
+16-row kernel; see PROBES_r05.md for the full measurement record and the
+burst-vs-sustained timing caveat.
 """
 from __future__ import annotations
 
